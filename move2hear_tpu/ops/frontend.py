@@ -1,0 +1,117 @@
+"""The fused TPU binaural audio frontend.
+
+Replaces the reference's per-env host-CPU audio rendering
+(``habitat_audio/simulator_train.py:386-486``) with one batched, jitted device
+computation: for every env and every source,
+
+    binaural = fftconvolve(mono_raw, rir, mode='same')        # per ear
+    binaural = round->int16->float32 / 32768                  # quantize
+    per-source binaural STFT -> (mag, phase)                  # gt bin comps
+    mono STFT of mono_raw/32768 -> (mag [L2-renormed], phase) # gt mono comps
+    mixture = mean_s(binaural) -> STFT -> log1p(mag), phase   # sensor inputs
+
+The intermediate float16 casts of the reference (simulator_train.py:441,467,
+483-484 store spectrograms as float16 before log1p / sensor reads) are
+reproduced so loss curves match bit-for-bit at fp16 resolution.
+
+This is the dominant cost of the reference's training loop (host FFTs in every
+env worker); here it is a single MXU/VPU-friendly batch per rollout step.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from move2hear_tpu.ops.convolve import fftconvolve_same
+from move2hear_tpu.ops.spec import l2_norm_scale, quantize_int16
+from move2hear_tpu.ops.stft import HOP_LENGTH, N_FFT, stft_mag_phase
+
+
+class RenderedAudio(NamedTuple):
+    """Per-step audio sensor bundle (shapes for B envs, S sources, F=512, T=32).
+
+    Field layouts match the reference sensors (``habitat_audio/task.py:60-176``):
+      mixed_bin_audio_mag:   (B, F, T, 2)  log1p magnitude
+      mixed_bin_audio_phase: (B, F, T, 2)
+      gt_bin_comps:          (B, F, T, 4*S) per source [mag_l, ph_l, mag_r, ph_r]
+      gt_mono_comps:         (B, F, T, 2*S) per source [mag, phase]
+    """
+
+    mixed_bin_audio_mag: jnp.ndarray
+    mixed_bin_audio_phase: jnp.ndarray
+    gt_bin_comps: jnp.ndarray
+    gt_mono_comps: jnp.ndarray
+
+
+def _f16(x: jnp.ndarray, enabled: bool) -> jnp.ndarray:
+    return x.astype(jnp.float16).astype(jnp.float32) if enabled else x
+
+
+@partial(jax.jit, static_argnames=("gt_mono_mag_norm", "cast_f16"))
+def render_binaural_mixture(
+    mono_wavs: jnp.ndarray,
+    rirs: jnp.ndarray,
+    gt_mono_mag_norm: float = 0.0,
+    cast_f16: bool = True,
+) -> RenderedAudio:
+    """Render the mixed-binaural observation and GT components for a batch.
+
+    Args:
+        mono_wavs: (B, S, L) raw int16-scale mono waveforms (as read from wav).
+        rirs: (B, S, R, 2) binaural room impulse responses (zero-padded to a
+            static length R; zero RIRs reproduce the reference's unreadable-RIR
+            fallback, ``simulator_train.py:407-415``).
+        gt_mono_mag_norm: GT_MONO_MAG_NORM config — L2 renorm target for the
+            GT mono magnitude (0.0 disables).
+        cast_f16: reproduce the reference's float16 spectrogram storage.
+
+    Returns:
+        RenderedAudio with B leading batch dim.
+    """
+    mono_wavs = jnp.asarray(mono_wavs, jnp.float32)
+    rirs = jnp.asarray(rirs, jnp.float32)
+    b, s, _ = mono_wavs.shape
+
+    # (B, S, 2, L): convolve each ear. fftconvolve_same broadcasts batch axes.
+    conv = fftconvolve_same(
+        mono_wavs[:, :, None, :], jnp.moveaxis(rirs, -1, -2)
+    )
+    conv = quantize_int16(conv)
+
+    # Per-source binaural spectrograms (gt bin comps).
+    bin_mag, bin_phase = stft_mag_phase(conv, n_fft=N_FFT, hop_length=HOP_LENGTH)
+    # (B, S, 2, F, T) -> interleave [mag_l, ph_l, mag_r, ph_r] per source.
+    bin_mag = _f16(bin_mag, cast_f16)
+    bin_phase = _f16(bin_phase, cast_f16)
+    comps = jnp.stack(
+        [bin_mag[:, :, 0], bin_phase[:, :, 0], bin_mag[:, :, 1], bin_phase[:, :, 1]],
+        axis=-1,
+    )  # (B, S, F, T, 4)
+    f, t = comps.shape[2], comps.shape[3]
+    gt_bin_comps = jnp.moveaxis(comps, 1, -2).reshape(b, f, t, 4 * s)
+
+    # GT mono spectrograms from the raw (unconvolved) waveforms.
+    mono_scaled = mono_wavs * (1.0 / 32768.0)
+    mono_mag, mono_phase = stft_mag_phase(mono_scaled, n_fft=N_FFT, hop_length=HOP_LENGTH)
+    mono_mag = l2_norm_scale(mono_mag, gt_mono_mag_norm)
+    mono_mag = _f16(mono_mag, cast_f16)
+    mono_phase = _f16(mono_phase, cast_f16)
+    mcomps = jnp.stack([mono_mag, mono_phase], axis=-1)  # (B, S, F, T, 2)
+    gt_mono_comps = jnp.moveaxis(mcomps, 1, -2).reshape(b, f, t, 2 * s)
+
+    # Mixture: mean of quantized per-source binaural waves.
+    mixed_wave = jnp.mean(conv, axis=1)  # (B, 2, L)
+    mix_mag, mix_phase = stft_mag_phase(mixed_wave, n_fft=N_FFT, hop_length=HOP_LENGTH)
+    mix_mag = _f16(mix_mag, cast_f16)
+    mix_phase = _f16(mix_phase, cast_f16)
+    mixed_bin_audio_mag = jnp.log1p(jnp.moveaxis(mix_mag, 1, -1))  # (B, F, T, 2)
+    mixed_bin_audio_phase = jnp.moveaxis(mix_phase, 1, -1)
+
+    return RenderedAudio(
+        mixed_bin_audio_mag=mixed_bin_audio_mag,
+        mixed_bin_audio_phase=mixed_bin_audio_phase,
+        gt_bin_comps=gt_bin_comps,
+        gt_mono_comps=gt_mono_comps,
+    )

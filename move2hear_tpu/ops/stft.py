@@ -1,0 +1,169 @@
+"""Batched STFT / ISTFT kernels for TPU.
+
+Implements the exact spectral frontend used by the reference
+(``habitat_audio/simulator_train.py:426-447`` and
+``audio_separation/pretrain/datasets/dataset.py:190-207``): librosa-semantics
+STFT with ``n_fft=1023``, ``hop_length=512``, a periodic Hann window,
+``center=True`` reflect padding — producing 512 frequency bins (a power of
+two, which is why the reference picked the odd n_fft; it also happens to be
+the TPU-friendly lane width x4).
+
+Everything here is pure jax.numpy: batched rfft/irfft map onto XLA's TPU FFT,
+framing is a single strided gather that XLA fuses with the window multiply.
+Shapes are static; all functions are jit-compatible and vmap-friendly.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_FFT = 1023
+HOP_LENGTH = 512
+N_FREQ = N_FFT // 2 + 1  # = 512
+
+
+def _np_hann(n_fft: int) -> np.ndarray:
+    n = np.arange(n_fft)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+
+
+def hann_window(n_fft: int = N_FFT, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic ("fftbins") Hann window, identical to
+    ``scipy.signal.get_window('hann', n_fft, fftbins=True)`` that librosa uses.
+    """
+    return jnp.asarray(_np_hann(n_fft), dtype=dtype)
+
+
+def num_frames(length: int, n_fft: int = N_FFT, hop_length: int = HOP_LENGTH) -> int:
+    """Number of STFT frames for a centered STFT of a `length`-sample signal."""
+    padded = length + 2 * (n_fft // 2)
+    return 1 + (padded - n_fft) // hop_length
+
+
+def _frame(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """Frame the last axis of `x` into overlapping windows.
+
+    x: (..., L_padded) -> (..., n_frames, n_fft)
+    """
+    length = x.shape[-1]
+    n = 1 + (length - n_fft) // hop_length
+    starts = np.arange(n) * hop_length
+    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (n, n_fft), static
+    return x[..., idx]
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center"))
+def stft(
+    x: jnp.ndarray,
+    n_fft: int = N_FFT,
+    hop_length: int = HOP_LENGTH,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Centered STFT with librosa semantics.
+
+    Args:
+        x: real signal(s), shape (..., L).
+    Returns:
+        complex spectrogram, shape (..., n_freq, n_frames) matching
+        ``librosa.stft`` layout (frequency-major).
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if center:
+        pad = n_fft // 2
+        pad_width = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, pad_width, mode="reflect")
+    frames = _frame(x, n_fft, hop_length)  # (..., n_frames, n_fft)
+    frames = frames * hann_window(n_fft)
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (..., n_frames, n_freq)
+    return jnp.swapaxes(spec, -1, -2)  # (..., n_freq, n_frames)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center"))
+def stft_mag_phase(
+    x: jnp.ndarray,
+    n_fft: int = N_FFT,
+    hop_length: int = HOP_LENGTH,
+    center: bool = True,
+):
+    """Magnitude + phase-angle of the centered STFT.
+
+    Equivalent to ``librosa.magphase(librosa.stft(x)); phase = np.angle(...)``
+    as used at ``habitat_audio/simulator_train.py:426-435``.
+    """
+    spec = stft(x, n_fft=n_fft, hop_length=hop_length, center=center)
+    return jnp.abs(spec), jnp.angle(spec)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "length", "center"))
+def istft_mag_phase(
+    mag: jnp.ndarray,
+    phase: jnp.ndarray,
+    n_fft: int = N_FFT,
+    hop_length: int = HOP_LENGTH,
+    length: int = 16000,
+    center: bool = True,
+) -> jnp.ndarray:
+    """ISTFT from real magnitude/phase arrays.
+
+    This is the TPU-safe entry point: the complex spectrum is assembled
+    on-device with ``lax.complex`` so no complex literals or host<->device
+    complex transfers are needed (the axon TPU runtime does not implement
+    complex buffer transfers). Mirrors the eval path
+    ``mag * exp(1j * phase) -> librosa.istft`` (common/eval_metrics.py:242-251).
+    """
+    spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+    return istft(spec, n_fft=n_fft, hop_length=hop_length, length=length, center=center)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "length", "center"))
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = N_FFT,
+    hop_length: int = HOP_LENGTH,
+    length: int = 16000,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Inverse STFT with librosa semantics (windowed overlap-add with
+    squared-window normalization), mirroring ``librosa.istft`` as used by
+    ``audio_separation/common/eval_metrics.py:232-251``.
+
+    Args:
+        spec: complex spectrogram (..., n_freq, n_frames).
+    Returns:
+        real signal (..., length).
+    """
+    spec = jnp.swapaxes(spec, -1, -2)  # (..., n_frames, n_freq)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (..., n_frames, n_fft)
+    win = hann_window(n_fft)
+    frames = frames * win
+
+    n_frames = frames.shape[-2]
+    out_len = n_fft + hop_length * (n_frames - 1)
+
+    # Overlap-add via segment-sum: scatter each frame into the output.
+    starts = np.arange(n_frames) * hop_length
+    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (n_frames, n_fft)
+    flat_idx = jnp.asarray(idx.reshape(-1))
+
+    def _ola(fr):
+        return jnp.zeros((out_len,), fr.dtype).at[flat_idx].add(fr.reshape(-1))
+
+    batch_shape = frames.shape[:-2]
+    sig = jax.vmap(_ola)(frames.reshape((-1, n_frames, n_fft)))
+    sig = sig.reshape(batch_shape + (out_len,))
+
+    # squared-window normalization envelope (static, built in numpy so it is
+    # a compile-time constant even under jit tracing)
+    wsq = _np_hann(n_fft) ** 2
+    env = np.zeros(out_len)
+    for s in starts:
+        env[s : s + n_fft] += wsq
+    tiny = np.finfo(np.float32).tiny
+    env = np.where(env > tiny, env, 1.0)
+    sig = sig / jnp.asarray(env, dtype=sig.dtype)
+
+    if center:
+        sig = sig[..., n_fft // 2 :]
+    return sig[..., :length]
