@@ -1,0 +1,335 @@
+"""PPO for Move2Hear, TPU-native (``audio_separation/rl/ppo/ppo.py``).
+
+Two independent optimizers over disjoint parameter islands
+(ppo.py:48-55):
+  - optimizer_pol: pol_net + action_dist + critic, clipped-surrogate PPO with
+    clipped value loss, normalized advantages, entropy bonus.
+  - optimizer_sep: the separator stack. As in the reference, gradients only
+    reach the acoustic memory — passive separators run frozen (no_grad,
+    ppo.py:195-204) — so here optimizer_sep covers acoustic_mem exactly.
+
+Each update (ppo_epoch x num_mini_batch minibatches over permuted envs,
+rollout_storage.py:182-298) is one ``lax.scan`` inside a single jit: no
+per-minibatch dispatch, no host sync. Under data parallelism the gradient
+pmean and the distributed advantage mean/var (ddppo_utils.py:168-190) ride
+the `axis_name` collectives — the DDPPO equivalent over ICI.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from move2hear_tpu.models.policy import Move2HearPolicy
+
+EPS_PPO = 1e-5
+
+POL_KEYS = ("pol_net", "action_dist", "critic")
+SEP_TRAIN_KEYS = ("acoustic_mem",)
+PASSIVE_KEYS = ("binSep_enc", "binSep_dec", "bin2mono_enc", "bin2mono_dec")
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    clip_param: float = 0.1
+    ppo_epoch: int = 4
+    num_mini_batch: int = 1
+    value_loss_coef: float = 0.5
+    entropy_coef: float = 0.2
+    lr_pol: float = 1e-4
+    lr_sep: float = 5e-4
+    eps: float = 1e-5
+    max_grad_norm: float = 0.5
+    use_clipped_value_loss: bool = True
+    use_normalized_advantage: bool = True
+    use_gae: bool = True
+    gamma: float = 0.99
+    tau: float = 0.95
+
+
+class AgentState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state_pol: Any
+    opt_state_sep: Any
+
+
+def _split(params, keys):
+    train = {k: params[k] for k in keys}
+    frozen = {k: v for k, v in params.items() if k not in keys}
+    return train, frozen
+
+
+def make_optimizers(cfg: PPOConfig):
+    tx = lambda lr: optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=lr, eps=cfg.eps),
+    )
+    return tx(cfg.lr_pol), tx(cfg.lr_sep)
+
+
+def create_agent_state(cfg: PPOConfig, variables) -> AgentState:
+    params = flax.core.unfreeze(variables["params"])
+    batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+    tx_pol, tx_sep = make_optimizers(cfg)
+    pol_params, _ = _split(params, POL_KEYS)
+    sep_params, _ = _split(params, SEP_TRAIN_KEYS)
+    return AgentState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state_pol=tx_pol.init(pol_params),
+        opt_state_sep=tx_sep.init(sep_params),
+    )
+
+
+def load_pretrained_passive_separators(params, passive_params):
+    """Copy the four passive-separator subtrees by name
+    (ppo.py:59-70); shapes must match exactly."""
+    params = dict(params)
+    for key in PASSIVE_KEYS:
+        src = passive_params[key]
+        dst = params[key]
+        jax.tree.map(
+            lambda a, b: None
+            if a.shape == b.shape
+            else (_ for _ in ()).throw(
+                ValueError(f"shape mismatch in {key}: {a.shape} vs {b.shape}")
+            ),
+            dst,
+            src,
+        )
+        params[key] = jax.tree.map(lambda _, s: s, dst, src)
+    return params
+
+
+def _normalized_advantages(advantages, use_normalized, axis_name):
+    if not use_normalized:
+        return advantages
+    if axis_name is None:
+        mean = advantages.mean()
+        std = advantages.std(ddof=1)
+        return (advantages - mean) / (std + EPS_PPO)
+    # distributed mean/var over the data axis (ddppo_utils.py:168-190)
+    mean = jax.lax.pmean(advantages.mean(), axis_name)
+    var = jax.lax.pmean(jnp.mean(jnp.square(advantages - mean)), axis_name)
+    n = advantages.size * jax.lax.psum(1, axis_name)
+    var = var * n / (n - 1)  # unbiased, matching torch .std()
+    return (advantages - mean) / (jnp.sqrt(var) + EPS_PPO)
+
+
+def _epoch_perms(rng, ppo_epoch, num_envs, num_mini_batch):
+    """(ppo_epoch * num_mini_batch, envs_per_batch) env-index table: each epoch
+    permutes envs and splits them into minibatches (rollout_storage.py:195-197)."""
+    envs_per = num_envs // num_mini_batch
+    perms = jax.vmap(lambda k: jax.random.permutation(k, num_envs))(
+        jax.random.split(rng, ppo_epoch)
+    )
+    return perms[:, : envs_per * num_mini_batch].reshape(-1, envs_per)
+
+
+def make_update_pol(
+    policy: Move2HearPolicy,
+    cfg: PPOConfig,
+    num_envs: int,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Build the jitted policy-update function.
+
+    The returned fn takes (state, rollouts_pol, rng) where rollouts_pol is the
+    device-resident rollout pytree (see rl/rollout.py) with `returns` already
+    computed, and returns (state, (value_loss, action_loss, dist_entropy))
+    averaged over all minibatches.
+    """
+    tx_pol, _ = make_optimizers(cfg)
+
+    def minibatch_loss(pol_params, frozen, batch_stats, mb):
+        params = {**frozen, **pol_params}
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        values, log_probs, entropy, _ = policy.apply(
+            variables,
+            mb["obs"],
+            mb["hidden0"],
+            mb["masks"],
+            mb["actions"],
+            mb["pred_binSepMasks"],
+            mb["pred_mono"],
+            mb["pred_monoFromMem"],
+            method=Move2HearPolicy.evaluate_actions,
+        )
+        ratio = jnp.exp(log_probs - mb["old_log_probs"])
+        surr1 = ratio * mb["adv"]
+        surr2 = (
+            jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * mb["adv"]
+        )
+        action_loss = -jnp.minimum(surr1, surr2).mean()
+
+        if cfg.use_clipped_value_loss:
+            clipped = mb["value_preds"] + jnp.clip(
+                values - mb["value_preds"], -cfg.clip_param, cfg.clip_param
+            )
+            vl = jnp.square(values - mb["returns"])
+            vl_c = jnp.square(clipped - mb["returns"])
+            value_loss = 0.5 * jnp.maximum(vl, vl_c).mean()
+        else:
+            value_loss = 0.5 * jnp.square(mb["returns"] - values).mean()
+
+        total = (
+            value_loss * cfg.value_loss_coef
+            + action_loss
+            - entropy * cfg.entropy_coef
+        )
+        return total, (value_loss, action_loss, entropy)
+
+    def update(state: AgentState, rollouts, rng):
+        adv_all = rollouts["returns"][:-1] - rollouts["value_preds"][:-1]
+        adv_all = _normalized_advantages(
+            adv_all, cfg.use_normalized_advantage, axis_name
+        )
+
+        pol_params, frozen = _split(state.params, POL_KEYS)
+        perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+
+        def scan_body(carry, idx):
+            pol_params, opt_state = carry
+            mb = {
+                "obs": {k: v[:-1, idx] for k, v in rollouts["observations"].items()},
+                "hidden0": rollouts["hidden"][0, idx],
+                "masks": rollouts["masks"][:-1, idx],
+                "actions": rollouts["actions"][:, idx],
+                "pred_binSepMasks": rollouts["pred_binSepMasks"][:, idx],
+                "pred_mono": rollouts["pred_mono"][:, idx],
+                "pred_monoFromMem": rollouts["prev_pred_monoFromMem"][1:, idx],
+                "value_preds": rollouts["value_preds"][:-1, idx],
+                "returns": rollouts["returns"][:-1, idx],
+                "adv": adv_all[:, idx],
+                "old_log_probs": rollouts["action_log_probs"][:, idx],
+            }
+            grads, aux = jax.grad(minibatch_loss, has_aux=True)(
+                pol_params, frozen, state.batch_stats, mb
+            )
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = tx_pol.update(grads, opt_state, pol_params)
+            pol_params = optax.apply_updates(pol_params, updates)
+            return (pol_params, opt_state), jnp.stack(aux)
+
+        (pol_params, opt_state), aux = jax.lax.scan(
+            scan_body, (pol_params, state.opt_state_pol), perms
+        )
+        value_loss, action_loss, entropy = aux.mean(axis=0)
+        new_params = {**frozen, **pol_params}
+        return (
+            state.replace(params=new_params, opt_state_pol=opt_state),
+            (value_loss, action_loss, entropy),
+        )
+
+    return update
+
+
+def make_update_sep(
+    policy: Move2HearPolicy,
+    cfg: PPOConfig,
+    num_envs: int,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Build the jitted separator-refit function (``ppo.py:179-246``): passive
+    separators run frozen; backward touches only the acoustic memory via the
+    L1 monoFromMem loss. Bin/mono L1 losses are returned for logging."""
+    _, tx_sep = make_optimizers(cfg)
+    sg = jax.lax.stop_gradient
+
+    def minibatch_loss(sep_params, frozen, batch_stats, mb):
+        params = {**frozen, **sep_params}
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        obs = mb["obs"]
+        t, n = mb["masks"].shape[0], mb["masks"].shape[1]
+
+        def flat(v):
+            return v.reshape((t * n,) + v.shape[2:])
+
+        obs_flat = {k: flat(v) for k, v in obs.items()}
+        mix = obs_flat["mixed_bin_audio_mag"]
+
+        pred_binSepMasks = sg(
+            policy.apply(
+                variables, obs_flat, method=Move2HearPolicy.get_binSepMasks
+            )
+        )
+        pred_mono = sg(
+            policy.apply(
+                variables,
+                pred_binSepMasks,
+                mix,
+                method=Move2HearPolicy.convert_bin2mono,
+            )
+        )
+
+        prev_mem = flat(mb["prev_pred_monoFromMem"])
+        masks = flat(mb["masks"]).reshape(t * n, 1, 1, 1)
+        prev_mem_masked = prev_mem * masks
+        pred_monoFromMem = policy.apply(
+            variables,
+            pred_mono,
+            prev_mem_masked,
+            method=Move2HearPolicy.get_monoFromMem,
+        )
+
+        gt_mono_mag = obs_flat["gt_mono_comps"][..., 0::2][..., :1]
+        monoFromMem_loss = jnp.abs(pred_monoFromMem - gt_mono_mag).mean()
+        mono_loss = jnp.abs(pred_mono - gt_mono_mag).mean()
+        gt_bin_mag = obs_flat["gt_bin_comps"][..., 0::2][..., :2]
+        pred_bin = jnp.expm1(mix) * pred_binSepMasks
+        bin_loss = jnp.abs(pred_bin - gt_bin_mag).mean()
+
+        return monoFromMem_loss, (bin_loss, mono_loss, monoFromMem_loss)
+
+    def update(state: AgentState, rollouts, rng):
+        sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
+        perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+
+        def scan_body(carry, idx):
+            sep_params, opt_state = carry
+            mb = {
+                "obs": {k: v[:-1, idx] for k, v in rollouts["observations"].items()},
+                "prev_pred_monoFromMem": rollouts["prev_pred_monoFromMem"][:-1, idx],
+                "masks": rollouts["masks"][:-1, idx],
+            }
+            grads, aux = jax.grad(minibatch_loss, has_aux=True)(
+                sep_params, frozen, state.batch_stats, mb
+            )
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = tx_sep.update(grads, opt_state, sep_params)
+            sep_params = optax.apply_updates(sep_params, updates)
+            return (sep_params, opt_state), jnp.stack(aux)
+
+        (sep_params, opt_state), aux = jax.lax.scan(
+            scan_body, (sep_params, state.opt_state_sep), perms
+        )
+        bin_loss, mono_loss, monoFromMem_loss = aux.mean(axis=0)
+        new_params = {**frozen, **sep_params}
+        return (
+            state.replace(params=new_params, opt_state_sep=opt_state),
+            (bin_loss, mono_loss, monoFromMem_loss),
+        )
+
+    return update
+
+
+# Convenience jitted builders -------------------------------------------------
+
+def ppo_update_pol(policy, cfg, num_envs, axis_name=None):
+    return jax.jit(make_update_pol(policy, cfg, num_envs, axis_name))
+
+
+def ppo_update_sep(policy, cfg, num_envs, axis_name=None):
+    return jax.jit(make_update_sep(policy, cfg, num_envs, axis_name))

@@ -1,0 +1,206 @@
+"""Device-resident rollout storage (``common/rollout_storage.py``).
+
+The reference keeps (T+1, N, ...) circular torch buffers on GPU; here they are
+immutable jnp pytrees updated functionally with ``dynamic_update_slice`` under
+jit (buffer donation makes this in-place on TPU). Two storages:
+
+  - RolloutPol: T = num_steps, holds everything the PPO update needs
+    (observations, GRU hidden, separator predictions, rewards/values/returns/
+    log-probs/actions/masks)  [rollout_storage.py:6-312]
+  - RolloutSep: T = num_steps * num_updates_per_cycle, holds observations +
+    prev_pred_monoFromMem + masks for the separator refit pass
+    [rollout_storage.py:315-471]
+
+`insert` takes the *current* step index (host-tracked python int, static per
+trace? no — passed as a traced scalar so one compiled insert serves all steps).
+`after_update` rolls slot T into slot 0 (rollout_storage.py:150-157).
+"""
+
+from functools import partial
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+class RolloutPol(flax.struct.PyTreeNode):
+    observations: Dict[str, jnp.ndarray]   # each (T+1, N, ...)
+    hidden: jnp.ndarray                    # (T+1, N, H)
+    pred_binSepMasks: jnp.ndarray          # (T, N, F, Tt, 2)
+    pred_mono: jnp.ndarray                 # (T, N, F, Tt, 1)
+    prev_pred_monoFromMem: jnp.ndarray     # (T+1, N, F, Tt, 1)
+    rewards: jnp.ndarray                   # (T, N, 1)
+    value_preds: jnp.ndarray               # (T+1, N, 1)
+    returns: jnp.ndarray                   # (T+1, N, 1)
+    action_log_probs: jnp.ndarray          # (T, N, 1)
+    actions: jnp.ndarray                   # (T, N, 1) int32
+    masks: jnp.ndarray                     # (T+1, N, 1)
+
+    def as_dict(self):
+        return {
+            "observations": self.observations,
+            "hidden": self.hidden,
+            "pred_binSepMasks": self.pred_binSepMasks,
+            "pred_mono": self.pred_mono,
+            "prev_pred_monoFromMem": self.prev_pred_monoFromMem,
+            "rewards": self.rewards,
+            "value_preds": self.value_preds,
+            "returns": self.returns,
+            "action_log_probs": self.action_log_probs,
+            "actions": self.actions,
+            "masks": self.masks,
+        }
+
+
+class RolloutSep(flax.struct.PyTreeNode):
+    observations: Dict[str, jnp.ndarray]   # each (T+1, N, ...)
+    prev_pred_monoFromMem: jnp.ndarray     # (T+1, N, F, Tt, 1)
+    masks: jnp.ndarray                     # (T+1, N, 1)
+
+    def as_dict(self):
+        return {
+            "observations": self.observations,
+            "prev_pred_monoFromMem": self.prev_pred_monoFromMem,
+            "masks": self.masks,
+        }
+
+
+def _obs_buffers(num_steps, num_envs, obs_shapes, dtype=jnp.float32):
+    out = {}
+    for sensor, shape in obs_shapes.items():
+        dt = jnp.int32 if sensor == "target_class" else dtype
+        out[sensor] = jnp.zeros((num_steps + 1, num_envs) + tuple(shape), dt)
+    return out
+
+
+def create_rollout_pol(
+    num_steps: int,
+    num_envs: int,
+    obs_shapes: Dict[str, tuple],
+    hidden_size: int = 512,
+    spec_shape=(512, 32),
+) -> RolloutPol:
+    f, tt = spec_shape
+    return RolloutPol(
+        observations=_obs_buffers(num_steps, num_envs, obs_shapes),
+        hidden=jnp.zeros((num_steps + 1, num_envs, hidden_size)),
+        pred_binSepMasks=jnp.zeros((num_steps, num_envs, f, tt, 2)),
+        pred_mono=jnp.zeros((num_steps, num_envs, f, tt, 1)),
+        prev_pred_monoFromMem=jnp.zeros((num_steps + 1, num_envs, f, tt, 1)),
+        rewards=jnp.zeros((num_steps, num_envs, 1)),
+        value_preds=jnp.zeros((num_steps + 1, num_envs, 1)),
+        returns=jnp.zeros((num_steps + 1, num_envs, 1)),
+        action_log_probs=jnp.zeros((num_steps, num_envs, 1)),
+        actions=jnp.zeros((num_steps, num_envs, 1), jnp.int32),
+        masks=jnp.ones((num_steps + 1, num_envs, 1)),
+    )
+
+
+def create_rollout_sep(
+    num_steps: int,
+    num_envs: int,
+    obs_shapes: Dict[str, tuple],
+    spec_shape=(512, 32),
+) -> RolloutSep:
+    f, tt = spec_shape
+    return RolloutSep(
+        observations=_obs_buffers(num_steps, num_envs, obs_shapes),
+        prev_pred_monoFromMem=jnp.zeros((num_steps + 1, num_envs, f, tt, 1)),
+        masks=jnp.ones((num_steps + 1, num_envs, 1)),
+    )
+
+
+def _set_at(buf, idx, value):
+    return jax.lax.dynamic_update_index_in_dim(
+        buf, value.astype(buf.dtype), idx, axis=0
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def insert_pol(
+    rollouts: RolloutPol,
+    step: jnp.ndarray,
+    observations: Dict[str, jnp.ndarray],
+    hidden: jnp.ndarray,
+    actions: jnp.ndarray,
+    action_log_probs: jnp.ndarray,
+    values: jnp.ndarray,
+    rewards: jnp.ndarray,
+    masks: jnp.ndarray,
+    pred_binSepMasks: jnp.ndarray,
+    pred_mono: jnp.ndarray,
+    pred_monoFromMem: jnp.ndarray,
+) -> RolloutPol:
+    """Mirror of RolloutStoragePol.insert (rollout_storage.py:102-148): the
+    *next* observation/hidden/mask/memory go into slot step+1; this step's
+    predictions/rewards/actions into slot step."""
+    obs = {
+        k: _set_at(rollouts.observations[k], step + 1, observations[k])
+        for k in rollouts.observations
+    }
+    return rollouts.replace(
+        observations=obs,
+        hidden=_set_at(rollouts.hidden, step + 1, hidden),
+        pred_binSepMasks=_set_at(rollouts.pred_binSepMasks, step, pred_binSepMasks),
+        pred_mono=_set_at(rollouts.pred_mono, step, pred_mono),
+        prev_pred_monoFromMem=_set_at(
+            rollouts.prev_pred_monoFromMem, step + 1, pred_monoFromMem
+        ),
+        rewards=_set_at(rollouts.rewards, step, rewards),
+        value_preds=_set_at(rollouts.value_preds, step, values),
+        action_log_probs=_set_at(rollouts.action_log_probs, step, action_log_probs),
+        actions=_set_at(rollouts.actions, step, actions),
+        masks=_set_at(rollouts.masks, step + 1, masks),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def insert_sep(
+    rollouts: RolloutSep,
+    step: jnp.ndarray,
+    observations: Dict[str, jnp.ndarray],
+    masks: jnp.ndarray,
+    pred_monoFromMem: jnp.ndarray,
+) -> RolloutSep:
+    obs = {
+        k: _set_at(rollouts.observations[k], step + 1, observations[k])
+        for k in rollouts.observations
+    }
+    return rollouts.replace(
+        observations=obs,
+        prev_pred_monoFromMem=_set_at(
+            rollouts.prev_pred_monoFromMem, step + 1, pred_monoFromMem
+        ),
+        masks=_set_at(rollouts.masks, step + 1, masks),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def after_update_pol(rollouts: RolloutPol) -> RolloutPol:
+    """Roll slot T -> slot 0 (rollout_storage.py:150-157)."""
+    obs = {
+        k: _set_at(v, 0, v[-1]) for k, v in rollouts.observations.items()
+    }
+    return rollouts.replace(
+        observations=obs,
+        hidden=_set_at(rollouts.hidden, 0, rollouts.hidden[-1]),
+        prev_pred_monoFromMem=_set_at(
+            rollouts.prev_pred_monoFromMem, 0, rollouts.prev_pred_monoFromMem[-1]
+        ),
+        masks=_set_at(rollouts.masks, 0, rollouts.masks[-1]),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def after_update_sep(rollouts: RolloutSep) -> RolloutSep:
+    obs = {
+        k: _set_at(v, 0, v[-1]) for k, v in rollouts.observations.items()
+    }
+    return rollouts.replace(
+        observations=obs,
+        prev_pred_monoFromMem=_set_at(
+            rollouts.prev_pred_monoFromMem, 0, rollouts.prev_pred_monoFromMem[-1]
+        ),
+        masks=_set_at(rollouts.masks, 0, rollouts.masks[-1]),
+    )

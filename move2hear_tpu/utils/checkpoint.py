@@ -1,0 +1,60 @@
+"""Checkpointing.
+
+Improves on the reference (which saves model params + config only, no
+optimizer state or update counter — resume-mid-training unsupported,
+ppo_trainer.py:223-238 / SURVEY.md §5): here a checkpoint is the FULL train
+state (params, batch stats, both optimizer states, update counter, config
+dict), serialized with flax msgpack and written atomically (tmp file +
+rename) so the checkpoint-polling evaluator never sees a partial file.
+
+File naming keeps the reference's ``ckpt.{N}.pth`` convention so the polling
+workflow and best-ckpt tooling are drop-in."""
+
+import os
+import pickle
+import tempfile
+from typing import Any, Dict, Optional
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Dict[str, Any]):
+    """state: dict of pytrees / plain python data. Atomic write."""
+    payload = {}
+    for k, v in state.items():
+        if k in ("config", "extra_state"):
+            payload[k] = pickle.dumps(v)
+        else:
+            payload[k] = flax.serialization.to_bytes(_to_host(v))
+    blob = pickle.dumps(payload)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(path: str, targets: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """targets: optional dict of template pytrees for typed restoration;
+    entries without a template are returned as raw nested dicts."""
+    with open(path, "rb") as f:
+        payload = pickle.loads(f.read())
+    out = {}
+    for k, v in payload.items():
+        if k in ("config", "extra_state"):
+            out[k] = pickle.loads(v)
+        elif targets and k in targets and targets[k] is not None:
+            out[k] = flax.serialization.from_bytes(targets[k], v)
+        else:
+            out[k] = flax.serialization.msgpack_restore(v)
+    return out
