@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Benchmark: full RL training loop env-steps/sec on the TPU chip vs a
+reference-architecture cost model measured on THIS host's CPUs.
+
+The reference (SAGNIKMJR/move2hear-active-AV-separation) publishes no
+throughput numbers (SURVEY.md §6); its per-env-step cost is dominated by the
+host audio frontend — scipy fftconvolve of 2 sources x 2 ears with 1-second
+RIRs plus 5 librosa STFTs per step, run inside each of NUM_PROCESSES=14 env
+workers — plus 3 torch separator/policy forwards per step on the GPU. The
+baseline here is measured, not assumed: we time the identical numpy/scipy
+rendering chain on this machine and charge the reference ONLY that cost,
+perfectly parallelized over min(14, cpu_count) workers and with a zero-cost
+GPU (an upper bound on what the reference could reach per 14-env rank).
+
+Ours is the measured steady-state env-steps/sec of the complete training loop
+(rollout + PPO update + separator refit with published hyperparameters:
+T=20 steps, 14 envs, ppo_epoch 4, cycle 6) on one TPU chip, compile time
+excluded.
+
+Prints ONE JSON line:
+  {"metric": "train_env_steps_per_sec", "value": ..., "unit": "steps/s",
+   "vs_baseline": ours / reference_ceiling}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure_reference_frontend(seconds: float = 6.0, rir_len: int = 16000):
+    """Reference per-step host audio cost: 2 sources x (fftconvolve x2 ears +
+    binaural STFT x2) + mono STFT (cached in steady state -> excluded) +
+    mixture STFT x2 (simulator_train.py:386-486)."""
+    from scipy.signal import fftconvolve
+
+    rng = np.random.default_rng(0)
+    mono = (rng.standard_normal(16000) * 8000).astype(np.float32)
+    rirs = (rng.standard_normal((2, rir_len, 2)) * 0.05).astype(np.float32)
+    win = (0.5 * (1 - np.cos(2 * np.pi * np.arange(1023) / 1023))).astype(
+        np.float64
+    )
+
+    def stft(y):
+        ypad = np.pad(y, 511, mode="reflect")
+        cols = [
+            np.fft.rfft(ypad[i * 512 : i * 512 + 1023] * win, n=1023)
+            for i in range(32)
+        ]
+        S = np.stack(cols, axis=1)
+        return np.abs(S), np.angle(S)
+
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        mixed = 0.0
+        for s in range(2):
+            conv = np.array(
+                [fftconvolve(mono, rirs[s, :, ch], mode="same") for ch in range(2)]
+            )
+            conv = np.round(conv).astype("int16").astype("float32") * (1 / 32768)
+            stft(conv[0])
+            stft(conv[1])
+            mixed = mixed + conv
+        mixed /= 2
+        stft(mixed[0])
+        stft(mixed[1])
+        n += 1
+    return n / (time.time() - t0)  # env-steps/sec on one CPU core
+
+
+def measure_ours():
+    from move2hear_tpu.config import get_config
+    from move2hear_tpu.env.micro_scene import build_micro_scene
+    from move2hear_tpu.rl.trainer import PPOTrainer
+
+    model_dir = "/tmp/m2h_bench"
+    os.system(f"rm -rf {model_dir}")
+    cfg = get_config(
+        model_dir=model_dir,
+        opts=[
+            "NUM_PROCESSES", "14",
+            "NUM_UPDATES", "18",            # 3 cycles of 6; first excluded
+            "CHECKPOINT_INTERVAL", "100000",
+            "LOG_INTERVAL", "100000",
+            "RL.PPO.num_steps", "20",
+            "RL.PPO.num_updates_per_cycle", "6",
+            "RL.PPO.ppo_epoch", "4",
+            "RL.PPO.num_mini_batch", "1",
+            "RL.PPO.use_ddppo", "True",
+            "RL.PPO.sep_reward_weight", "1.0",
+            "RL.PPO.nav_reward_weight", "0.0",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "20",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+        ],
+    )
+    bundle = build_micro_scene(
+        rows=4, cols=4, num_episodes=64, near_target=True, rir_length=16000
+    )
+    trainer = PPOTrainer(cfg, bundle=bundle)
+    trainer.train()
+    return trainer.steady_fps
+
+
+def main():
+    ours = measure_ours()
+    ref_single_core = measure_reference_frontend()
+    cores = os.cpu_count() or 1
+    ref_ceiling = ref_single_core * min(14, cores)
+    result = {
+        "metric": "train_env_steps_per_sec",
+        "value": round(float(ours), 2),
+        "unit": "steps/s",
+        "vs_baseline": round(float(ours / ref_ceiling), 3),
+        "baseline_detail": {
+            "reference_frontend_steps_per_sec_1core": round(ref_single_core, 2),
+            "reference_ceiling_14workers": round(ref_ceiling, 2),
+            "cores": cores,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,7 @@ def default_config() -> Config:
     c.EVAL_METRICS_TO_COMPUTE = ["si_sdr"]
     c.EPS_SCENES = []
     c.EPS_SCENES_N_IDS = []
+    c.EVAL_EPISODE_COUNT = 1000
     c.JOB_ID = 1
     c.OVERWRITE_MODEL_DIR = False   # non-interactive variant of default.py:259-270
 

@@ -1,0 +1,87 @@
+"""Synthetic micro-scene fixture: a small grid scene + procedural audio DB +
+frame cache + generated episodes — the test/demo substitute for
+Matterport3D + SoundSpaces data (SURVEY.md §4: the reference achieved this
+with DummySimulator + zero-RIR fallbacks; here it is a first-class fixture).
+"""
+
+from dataclasses import dataclass
+from typing import Callable, List
+
+from move2hear_tpu.env.audio_db import SyntheticAudioDB
+from move2hear_tpu.env.environment import AAViSSEnv
+from move2hear_tpu.env.episodes import EpisodeDataset, generate_episodes
+from move2hear_tpu.env.frame_cache import SyntheticFrameCache
+from move2hear_tpu.env.scene import GraphScene
+from move2hear_tpu.env.sim import AAViSSSim
+
+DEFAULT_SOUNDS = [f"class{i}" for i in range(10)] + ["music", "esc"]
+
+
+@dataclass
+class MicroSceneBundle:
+    scene: GraphScene
+    audio_db: SyntheticAudioDB
+    frame_cache: SyntheticFrameCache
+    episodes: EpisodeDataset
+
+    def make_env_fn(
+        self,
+        max_episode_steps: int = 20,
+        with_distance_reward: bool = False,
+        distance_reward_scale: float = 1.0,
+        eval_mode: bool = False,
+        gt_mono_mag_norm: float = 1.2,
+        seed: int = 0,
+        shuffle_episodes: bool = True,
+        episodes: EpisodeDataset = None,
+        possible_actions=("MOVE_FORWARD", "TURN_LEFT", "TURN_RIGHT"),
+    ) -> Callable[[], AAViSSEnv]:
+        bundle = self
+
+        def _make():
+            sim = AAViSSSim(
+                bundle.scene,
+                bundle.audio_db,
+                bundle.frame_cache,
+                eval_mode=eval_mode,
+                gt_mono_mag_norm=gt_mono_mag_norm,
+            )
+            return AAViSSEnv(
+                sim,
+                episodes if episodes is not None else bundle.episodes,
+                max_episode_steps=max_episode_steps,
+                with_distance_reward=with_distance_reward,
+                distance_reward_scale=distance_reward_scale,
+                seed=seed,
+                shuffle_episodes=shuffle_episodes,
+                possible_actions=possible_actions,
+            )
+
+        return _make
+
+
+def build_micro_scene(
+    rows: int = 4,
+    cols: int = 4,
+    num_episodes: int = 16,
+    near_target: bool = True,
+    rir_length: int = 1000,
+    wav_length: int = 16000,
+    image_size: int = 128,
+    seed: int = 0,
+    name: str = "micro",
+) -> MicroSceneBundle:
+    scene = GraphScene.grid(name, rows, cols)
+    audio_db = SyntheticAudioDB(
+        DEFAULT_SOUNDS, wav_length=wav_length, rir_length=rir_length, seed=seed
+    )
+    frame_cache = SyntheticFrameCache(image_size, image_size)
+    episodes = generate_episodes(
+        scene,
+        DEFAULT_SOUNDS,
+        num_episodes,
+        near_target=near_target,
+        seed=seed,
+        esc_sounds=("esc",),
+    )
+    return MicroSceneBundle(scene, audio_db, frame_cache, episodes)

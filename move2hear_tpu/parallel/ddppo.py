@@ -1,0 +1,231 @@
+"""DDPPO control-plane utilities — the TPU equivalents of
+``audio_separation/rl/ppo/ddppo_utils.py``:
+
+- rank/world discovery (env vars -> single-process fallback, :142-155)
+- the preemptive rollout-sync counter (TCPStore "num_done" in the reference,
+  ppo_trainer.py:597-600,769-782) as a small KV abstraction with in-process,
+  file-based (multi-process single host), and TCP implementations
+- preemption signal handling + interrupted-state save/load (:26-110), without
+  the SLURM-specific requeue (exposed as a callback hook instead)
+
+Gradient/stat reduction itself lives in the jitted updates (psum/pmean over
+the mesh) — there is no NCCL-style side channel."""
+
+import json
+import os
+import signal
+import socket
+import socketserver
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+EXIT = threading.Event()
+REQUEUE = threading.Event()
+
+
+def add_signal_handlers(requeue_signal: int = signal.SIGUSR1):
+    """SIGINT/SIGTERM/SIGUSR2 -> clean-exit flag; SIGUSR1 -> requeue flag
+    (ddppo_utils.py:43-56)."""
+
+    def _clean_exit(*_):
+        EXIT.set()
+
+    def _requeue(*_):
+        EXIT.set()
+        REQUEUE.set()
+
+    for s in (signal.SIGINT, signal.SIGTERM, signal.SIGUSR2):
+        signal.signal(s, _clean_exit)
+    signal.signal(requeue_signal, _requeue)
+
+
+def get_distrib_info():
+    """(local_rank, world_rank, world_size) from torchrun-style env vars, else
+    the single-process fallback (ddppo_utils.py:142-155)."""
+    if "RANK" in os.environ and "WORLD_SIZE" in os.environ:
+        return (
+            int(os.environ.get("LOCAL_RANK", 0)),
+            int(os.environ["RANK"]),
+            int(os.environ["WORLD_SIZE"]),
+        )
+    if "SLURM_PROCID" in os.environ:
+        return (
+            int(os.environ["SLURM_LOCALID"]),
+            int(os.environ["SLURM_PROCID"]),
+            int(os.environ["SLURM_NTASKS"]),
+        )
+    return 0, 0, 1
+
+
+def init_distributed(master_addr: str = "127.0.0.1", master_port: int = 8738):
+    """Initialize jax multi-process when launched with world_size > 1;
+    harmless no-op otherwise. Returns (local_rank, world_rank, world_size)."""
+    local_rank, world_rank, world_size = get_distrib_info()
+    if world_size > 1:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=f"{master_addr}:{master_port}",
+            num_processes=world_size,
+            process_id=world_rank,
+        )
+    return local_rank, world_rank, world_size
+
+
+# --- num_done store ----------------------------------------------------------
+
+class NumDoneStore:
+    """Counter of ranks that finished their rollout, used by the preemptive
+    sync: collection stops early once num_done > sync_frac * world_size and
+    step >= short_rollout_threshold * num_steps (ppo_trainer.py:769-782)."""
+
+    def add(self, delta: int) -> int:
+        raise NotImplementedError
+
+    def get(self) -> int:
+        raise NotImplementedError
+
+    def reset(self):
+        raise NotImplementedError
+
+
+class LocalNumDoneStore(NumDoneStore):
+    """Single-process (world_size == 1) store."""
+
+    def __init__(self):
+        self._v = 0
+        self._lock = threading.Lock()
+
+    def add(self, delta):
+        with self._lock:
+            self._v += delta
+            return self._v
+
+    def get(self):
+        return self._v
+
+    def reset(self):
+        with self._lock:
+            self._v = 0
+
+
+class FileNumDoneStore(NumDoneStore):
+    """Multi-process single-host store backed by an O_APPEND file: each rank
+    appends a byte on done; the count is the file size. Reset truncates."""
+
+    def __init__(self, path: str):
+        self._path = path
+        open(path, "ab").close()
+
+    def add(self, delta):
+        with open(self._path, "ab") as f:
+            f.write(b"x" * delta)
+        return self.get()
+
+    def get(self):
+        return os.path.getsize(self._path)
+
+    def reset(self):
+        with open(self._path, "wb"):
+            pass
+
+
+class _KVHandler(socketserver.StreamRequestHandler):
+    def handle(self):
+        line = self.rfile.readline().strip().decode()
+        store = self.server.store  # type: ignore[attr-defined]
+        if line.startswith("ADD"):
+            v = store.add(int(line.split()[1]))
+        elif line == "RESET":
+            store.reset()
+            v = 0
+        else:
+            v = store.get()
+        self.wfile.write(f"{v}\n".encode())
+
+
+class TCPNumDoneStore(NumDoneStore):
+    """Multi-host store: rank 0 serves a tiny line-protocol KV (the TCPStore
+    analog); other ranks connect per op."""
+
+    def __init__(self, addr: str, port: int, is_master: bool):
+        self._addr, self._port = addr, port
+        self._server = None
+        if is_master:
+            self._local = LocalNumDoneStore()
+            srv = socketserver.ThreadingTCPServer((addr, port), _KVHandler)
+            srv.store = self._local  # type: ignore[attr-defined]
+            srv.daemon_threads = True
+            self._server = srv
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def _rpc(self, msg: str) -> int:
+        with socket.create_connection((self._addr, self._port), timeout=30) as s:
+            s.sendall((msg + "\n").encode())
+            return int(s.makefile().readline().strip())
+
+    def add(self, delta):
+        return self._rpc(f"ADD {delta}")
+
+    def get(self):
+        return self._rpc("GET")
+
+    def reset(self):
+        self._rpc("RESET")
+
+    def close(self):
+        if self._server is not None:
+            self._server.shutdown()
+
+
+# --- interrupted state -------------------------------------------------------
+
+def interrupted_state_path(job_id) -> str:
+    base = os.environ.get(
+        "INTERRUPTED_STATE_DIR",
+        os.path.join(os.path.expanduser("~"), ".interrupted_states"),
+    )
+    return os.path.join(base, f"{job_id}.ckpt")
+
+
+def save_interrupted_state(state: dict, job_id) -> str:
+    from move2hear_tpu.utils.checkpoint import save_checkpoint
+
+    path = interrupted_state_path(job_id)
+    save_checkpoint(path, state)
+    return path
+
+
+def load_interrupted_state(job_id) -> Optional[dict]:
+    from move2hear_tpu.utils.checkpoint import load_checkpoint
+
+    path = interrupted_state_path(job_id)
+    if not os.path.exists(path):
+        return None
+    return load_checkpoint(path)
+
+
+@dataclass
+class RolloutSyncState:
+    """Preemptive-sync policy evaluated inside the rollout loop."""
+
+    sync_frac: float
+    short_rollout_threshold: float
+    num_steps: int
+    world_size: int
+    store: NumDoneStore = field(default_factory=LocalNumDoneStore)
+
+    def should_stop_early(self, step: int) -> bool:
+        if self.world_size <= 1:
+            return False
+        return (
+            step >= self.short_rollout_threshold * self.num_steps
+            and self.store.get() > self.sync_frac * self.world_size
+        )
+
+    def mark_done(self):
+        self.store.add(1)
+
+    def new_rollout(self):
+        self.store.reset()

@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers — the ICI replacement for the reference's
+NCCL/torch.distributed backend (SURVEY.md §2.9, §5).
+
+One 1-axis (`data`) mesh: batch dims are sharded over it, parameters are
+replicated; XLA inserts the psum for gradient reduction when a jitted update
+consumes sharded batches and produces replicated grads — replacing DDP's
+bucket allreduce (rl/ppo/ppo.py:286-319). Multi-host extends the same mesh
+across slices (`jax.distributed.initialize` at the CLI layer)."""
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_rollouts(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
+    """Shard the env axis (dim 1 of every (T, N, ...) rollout buffer) over the
+    data mesh. Scalars/1-D leaves are replicated."""
+    env_sh = NamedSharding(mesh, P(None, axis_name))
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, env_sh if getattr(x, "ndim", 0) >= 2 else rep),
+        tree,
+    )

@@ -1,0 +1,216 @@
+"""Supervised passive-separator pretraining
+(``audio_separation/pretrain/passive/passive_trainer.py``), TPU-native.
+
+One jitted train step fuses the entire pipeline: batched RIR convolution +
+STFT rendering (the work the reference spread over 60 DataLoader CPU workers)
+-> U-Net forward (BatchNorm in train mode) -> L1 losses -> grad -> adam, with
+the batch sharded over the data mesh axis (params replicated; XLA inserts the
+gradient psum). Loss = L1(mask * expm1(mix), gt_bin_mag) +
+L1(pred_mono, gt_mono_mag) (passive_trainer.py:269-286).
+
+Differences from the reference, by design (SURVEY.md §7 "bugs to not
+replicate"): gradient clipping actually happens (the reference clips before
+backward — a no-op); checkpoints carry optimizer state + epoch.
+
+Registered as trainer "passive"."""
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from move2hear_tpu.models.policy import Move2HearPassiveWoMemoryPolicy
+from move2hear_tpu.ops.frontend import render_binaural_mixture
+from move2hear_tpu.ops.spec import masked_mix
+from move2hear_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from move2hear_tpu.pretrain.dataset import PassiveDataSource, SyntheticPassiveSource
+from move2hear_tpu.rl.base_trainer import BaseTrainer
+from move2hear_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from move2hear_tpu.utils.registry import registry
+
+logger = logging.getLogger(__name__)
+
+# MP3D scene split used by the reference (passive_trainer.py:26-44) retained
+# for the file-backed dataset path.
+TRAIN_SCENE_COUNT, VAL_SCENE_COUNT = 57, 11
+
+
+@registry.register_trainer(name="passive")
+class PassiveTrainer(BaseTrainer):
+    def __init__(self, config, sources: Optional[Dict[str, PassiveDataSource]] = None):
+        self.config = config
+        self.policy = Move2HearPassiveWoMemoryPolicy()
+        self._sources = sources or self._default_sources()
+        ppo_like = config.Pretrain.Passive
+        self._lr = ppo_like.lr
+        self._eps = ppo_like.eps
+        self._max_grad_norm = ppo_like.max_grad_norm
+        self._num_epochs = ppo_like.NUM_EPOCHS
+        self._batch_size = ppo_like.get("BATCH_SIZE", 64)
+        self._gt_mono_mag_norm = config.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM
+        self._mesh = make_mesh(
+            None if config.TPU.MESH_SHAPE[0] == -1 else config.TPU.MESH_SHAPE[0],
+            config.TPU.AXIS_NAME,
+        )
+        self._steps_per_epoch = max(
+            1, len(self._sources["train"]) // self._batch_size
+        )
+        self._val_batches = max(1, len(self._sources["val"]) // self._batch_size)
+
+    def _default_sources(self):
+        return {
+            "train": SyntheticPassiveSource(num_datapoints=256, seed=0),
+            "val": SyntheticPassiveSource(num_datapoints=64, seed=1),
+            "nonoverlapping_val": SyntheticPassiveSource(num_datapoints=64, seed=2),
+        }
+
+    # --- jitted steps ----------------------------------------------------
+    def _loss(self, params, batch_stats, batch, train: bool):
+        rendered = render_binaural_mixture(
+            batch["mono_wavs"], batch["rirs"], gt_mono_mag_norm=self._gt_mono_mag_norm
+        )
+        obs = {
+            "mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
+            "target_class": batch["target_class"],
+        }
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            (pred_masks, pred_mono), mutated = self.policy.apply(
+                variables, obs, train=True, mutable=["batch_stats"]
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            pred_masks, pred_mono = self.policy.apply(variables, obs, train=False)
+            new_stats = batch_stats
+
+        gt_bin_mag = rendered.gt_bin_comps[..., 0::2][..., :2]
+        gt_mono_mag = rendered.gt_mono_comps[..., 0::2][..., :1]
+        pred_bin = masked_mix(rendered.mixed_bin_audio_mag, pred_masks)
+        bin_loss = jnp.abs(pred_bin - gt_bin_mag).mean()
+        mono_loss = jnp.abs(pred_mono - gt_mono_mag).mean()
+        total = bin_loss + mono_loss
+        return total, (bin_loss, mono_loss, new_stats)
+
+    def _build_steps(self):
+        tx = optax.chain(
+            optax.clip_by_global_norm(self._max_grad_norm),
+            optax.adam(self._lr, eps=self._eps),
+        )
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, batch):
+            grads, (bin_loss, mono_loss, new_stats) = jax.grad(
+                self._loss, has_aux=True
+            )(params, batch_stats, batch, True)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, bin_loss, mono_loss
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            _, (bin_loss, mono_loss, _) = self._loss(
+                params, batch_stats, batch, False
+            )
+            return bin_loss, mono_loss
+
+        return tx, train_step, eval_step
+
+    # --- the loop --------------------------------------------------------
+    def train(self) -> None:
+        rng = np.random.default_rng(self.config.SEED)
+        key = jax.random.PRNGKey(self.config.SEED)
+
+        sample = self._sources["train"].sample_batch(rng, 2, deterministic=True)
+        init_obs = {
+            "mixed_bin_audio_mag": jnp.zeros((2, 512, 32, 2)),
+            "target_class": jnp.asarray(sample["target_class"][:2]),
+        }
+        variables = self.policy.init(key, init_obs, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        tx, train_step, eval_step = self._build_steps()
+        opt_state = tx.init(params)
+
+        params = replicate(self._mesh, params)
+        batch_stats = replicate(self._mesh, batch_stats)
+        opt_state = replicate(self._mesh, opt_state)
+
+        best_val = {"val": np.inf, "nonoverlapping_val": np.inf}
+        os.makedirs(self.config.CHECKPOINT_FOLDER, exist_ok=True)
+
+        for epoch in range(self._num_epochs):
+            t0 = time.time()
+            tr_bin, tr_mono = 0.0, 0.0
+            for _ in range(self._steps_per_epoch):
+                batch = self._sources["train"].sample_batch(rng, self._batch_size)
+                batch = shard_batch(self._mesh, batch)
+                params, batch_stats, opt_state, bin_loss, mono_loss = train_step(
+                    params, batch_stats, opt_state, batch
+                )
+                tr_bin += float(bin_loss)
+                tr_mono += float(mono_loss)
+            tr_bin /= self._steps_per_epoch
+            tr_mono /= self._steps_per_epoch
+
+            val_losses = {}
+            for split in ("val", "nonoverlapping_val"):
+                vb, vm = 0.0, 0.0
+                n_batches = max(1, len(self._sources[split]) // self._batch_size)
+                for i in range(n_batches):
+                    batch = self._sources[split].sample_batch(
+                        rng, self._batch_size, deterministic=True,
+                        start=i * self._batch_size,
+                    )
+                    batch = shard_batch(self._mesh, batch)
+                    bin_loss, mono_loss = eval_step(params, batch_stats, batch)
+                    vb += float(bin_loss)
+                    vm += float(mono_loss)
+                val_losses[split] = (vb / n_batches, vm / n_batches)
+
+            logger.info(
+                "epoch %d: train bin %.4f mono %.4f | val mono %.4f | "
+                "nonoverlap val mono %.4f | %.1fs",
+                epoch, tr_bin, tr_mono, val_losses["val"][1],
+                val_losses["nonoverlapping_val"][1], time.time() - t0,
+            )
+
+            # best-on-val checkpointing (passive_trainer.py:259-266)
+            for split, fname in (
+                ("val", "best_ckpt_val.pth"),
+                ("nonoverlapping_val", "best_ckpt_nonoverlapping_val.pth"),
+            ):
+                if val_losses[split][1] < best_val[split]:
+                    best_val[split] = val_losses[split][1]
+                    self._save(
+                        os.path.join(self.config.CHECKPOINT_FOLDER, fname),
+                        params, batch_stats, opt_state, epoch,
+                    )
+
+        self._final = (params, batch_stats, opt_state)
+
+    def _save(self, path, params, batch_stats, opt_state, epoch):
+        save_checkpoint(
+            path,
+            {
+                "params": params,
+                "batch_stats": batch_stats,
+                "opt_state": opt_state,
+                "extra_state": {"epoch": epoch},
+                "config": self.config.to_dict(),
+            },
+        )
+
+    def load_checkpoint(self, checkpoint_path: str):
+        return load_checkpoint(checkpoint_path)
+
+    def eval(self, eval_interval: int = 1, prev_ckpt_ind: int = -1) -> None:
+        raise NotImplementedError(
+            "passive pretrain validates inline; use the RL eval for policies"
+        )

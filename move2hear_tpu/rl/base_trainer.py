@@ -1,0 +1,67 @@
+"""Abstract trainer API + checkpoint-polling eval loop
+(``audio_separation/common/base_trainer.py``)."""
+
+import os
+import time
+from typing import Optional
+
+from move2hear_tpu.utils.misc import poll_checkpoint_folder
+
+
+class BaseTrainer:
+    def train(self) -> None:
+        raise NotImplementedError
+
+    def eval(self, eval_interval: int = 1, prev_ckpt_ind: int = -1) -> None:
+        raise NotImplementedError
+
+    def save_checkpoint(self, file_name: str) -> None:
+        raise NotImplementedError
+
+    def load_checkpoint(self, checkpoint_path: str):
+        raise NotImplementedError
+
+
+class BaseRLTrainer(BaseTrainer):
+    def __init__(self, config):
+        self.config = config
+
+    def eval(self, eval_interval: int = 1, prev_ckpt_ind: int = -1) -> None:
+        """Single-checkpoint eval when EVAL_CKPT_PATH_DIR is a file; otherwise
+        poll the checkpoint dir forever, evaluating each new ckpt in mtime
+        order (base_trainer.py:59-102)."""
+        ckpt_dir = self.config.EVAL_CKPT_PATH_DIR
+        if os.path.isfile(ckpt_dir):
+            self._eval_checkpoint(ckpt_dir, checkpoint_index=0)
+            return
+        while True:
+            current_ckpt = None
+            while current_ckpt is None:
+                current_ckpt = poll_checkpoint_folder(
+                    ckpt_dir, prev_ckpt_ind, eval_interval
+                )
+                if current_ckpt is None:
+                    if getattr(self, "_eval_poll_once", False):
+                        return
+                    time.sleep(2)
+            prev_ckpt_ind += eval_interval
+            self._eval_checkpoint(
+                checkpoint_path=current_ckpt, checkpoint_index=prev_ckpt_ind
+            )
+
+    def _eval_checkpoint(
+        self, checkpoint_path: str, checkpoint_index: int = 0
+    ) -> None:
+        raise NotImplementedError
+
+    @staticmethod
+    def _setup_eval_config(checkpoint_config, eval_config):
+        """Merge priority: eval CLI opts > ckpt CLI opts > eval cfg > ckpt cfg
+        (base_trainer.py:104-140)."""
+        from move2hear_tpu.utils.config_tree import Config
+
+        merged = Config(checkpoint_config if isinstance(checkpoint_config, dict) else {})
+        merged.merge_from_other(
+            eval_config.to_dict() if isinstance(eval_config, Config) else eval_config
+        )
+        return merged

@@ -236,28 +236,41 @@ def make_update_sep(
     policy: Move2HearPolicy,
     cfg: PPOConfig,
     num_envs: int,
+    gt_mono_mag_norm: float = 0.0,
     axis_name: Optional[str] = None,
 ) -> Callable:
     """Build the jitted separator-refit function (``ppo.py:179-246``): passive
     separators run frozen; backward touches only the acoustic memory via the
-    L1 monoFromMem loss. Bin/mono L1 losses are returned for logging."""
+    L1 monoFromMem loss. Bin/mono L1 losses are returned for logging.
+
+    Spectrograms are re-rendered on device from the stored (sound id, RIR)
+    keys (see rl/rollout.py RolloutSep) — identical values to the rollout-time
+    render, for a fraction of the HBM."""
+    from move2hear_tpu.ops.frontend import render_binaural_mixture
+
     _, tx_sep = make_optimizers(cfg)
     sg = jax.lax.stop_gradient
 
-    def minibatch_loss(sep_params, frozen, batch_stats, mb):
+    def minibatch_loss(sep_params, frozen, batch_stats, bank, mb):
         params = {**frozen, **sep_params}
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
 
-        obs = mb["obs"]
         t, n = mb["masks"].shape[0], mb["masks"].shape[1]
 
         def flat(v):
             return v.reshape((t * n,) + v.shape[2:])
 
-        obs_flat = {k: flat(v) for k, v in obs.items()}
-        mix = obs_flat["mixed_bin_audio_mag"]
+        rendered = render_binaural_mixture(
+            bank[flat(mb["sound_ids"])], flat(mb["rirs"]),
+            gt_mono_mag_norm=gt_mono_mag_norm,
+        )
+        mix = sg(rendered.mixed_bin_audio_mag)
+        obs_flat = {
+            "mixed_bin_audio_mag": mix,
+            "target_class": flat(mb["target_class"]),
+        }
 
         pred_binSepMasks = sg(
             policy.apply(
@@ -283,28 +296,30 @@ def make_update_sep(
             method=Move2HearPolicy.get_monoFromMem,
         )
 
-        gt_mono_mag = obs_flat["gt_mono_comps"][..., 0::2][..., :1]
+        gt_mono_mag = sg(rendered.gt_mono_comps[..., 0::2][..., :1])
         monoFromMem_loss = jnp.abs(pred_monoFromMem - gt_mono_mag).mean()
         mono_loss = jnp.abs(pred_mono - gt_mono_mag).mean()
-        gt_bin_mag = obs_flat["gt_bin_comps"][..., 0::2][..., :2]
+        gt_bin_mag = sg(rendered.gt_bin_comps[..., 0::2][..., :2])
         pred_bin = jnp.expm1(mix) * pred_binSepMasks
         bin_loss = jnp.abs(pred_bin - gt_bin_mag).mean()
 
         return monoFromMem_loss, (bin_loss, mono_loss, monoFromMem_loss)
 
-    def update(state: AgentState, rollouts, rng):
+    def update(state: AgentState, rollouts, bank, rng):
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
         perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
 
         def scan_body(carry, idx):
             sep_params, opt_state = carry
             mb = {
-                "obs": {k: v[:-1, idx] for k, v in rollouts["observations"].items()},
+                "sound_ids": rollouts["sound_ids"][:-1, idx],
+                "rirs": rollouts["rirs"][:-1, idx],
+                "target_class": rollouts["target_class"][:-1, idx],
                 "prev_pred_monoFromMem": rollouts["prev_pred_monoFromMem"][:-1, idx],
                 "masks": rollouts["masks"][:-1, idx],
             }
             grads, aux = jax.grad(minibatch_loss, has_aux=True)(
-                sep_params, frozen, state.batch_stats, mb
+                sep_params, frozen, state.batch_stats, bank, mb
             )
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)

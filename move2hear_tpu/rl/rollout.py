@@ -54,13 +54,23 @@ class RolloutPol(flax.struct.PyTreeNode):
 
 
 class RolloutSep(flax.struct.PyTreeNode):
-    observations: Dict[str, jnp.ndarray]   # each (T+1, N, ...)
+    """Separator-refit buffer. Unlike the reference (which stores every
+    rendered sensor for 120 steps — multiple GB of spectrograms), this stores
+    the *render inputs* (sound ids + RIRs + target class) and the update
+    re-renders spectrograms on device inside the loss: rematerialization
+    trades a few cheap batched FFTs for an order of magnitude of HBM."""
+
+    sound_ids: jnp.ndarray                 # (T+1, N, S) int32
+    rirs: jnp.ndarray                      # (T+1, N, S, R, 2)
+    target_class: jnp.ndarray              # (T+1, N, 1) int32
     prev_pred_monoFromMem: jnp.ndarray     # (T+1, N, F, Tt, 1)
     masks: jnp.ndarray                     # (T+1, N, 1)
 
     def as_dict(self):
         return {
-            "observations": self.observations,
+            "sound_ids": self.sound_ids,
+            "rirs": self.rirs,
+            "target_class": self.target_class,
             "prev_pred_monoFromMem": self.prev_pred_monoFromMem,
             "masks": self.masks,
         }
@@ -69,7 +79,12 @@ class RolloutSep(flax.struct.PyTreeNode):
 def _obs_buffers(num_steps, num_envs, obs_shapes, dtype=jnp.float32):
     out = {}
     for sensor, shape in obs_shapes.items():
-        dt = jnp.int32 if sensor == "target_class" else dtype
+        if sensor == "target_class":
+            dt = jnp.int32
+        elif sensor == "rgb":
+            dt = jnp.uint8
+        else:
+            dt = dtype
         out[sensor] = jnp.zeros((num_steps + 1, num_envs) + tuple(shape), dt)
     return out
 
@@ -100,12 +115,15 @@ def create_rollout_pol(
 def create_rollout_sep(
     num_steps: int,
     num_envs: int,
-    obs_shapes: Dict[str, tuple],
+    num_sources: int = 2,
+    rir_length: int = 16000,
     spec_shape=(512, 32),
 ) -> RolloutSep:
     f, tt = spec_shape
     return RolloutSep(
-        observations=_obs_buffers(num_steps, num_envs, obs_shapes),
+        sound_ids=jnp.zeros((num_steps + 1, num_envs, num_sources), jnp.int32),
+        rirs=jnp.zeros((num_steps + 1, num_envs, num_sources, rir_length, 2)),
+        target_class=jnp.zeros((num_steps + 1, num_envs, 1), jnp.int32),
         prev_pred_monoFromMem=jnp.zeros((num_steps + 1, num_envs, f, tt, 1)),
         masks=jnp.ones((num_steps + 1, num_envs, 1)),
     )
@@ -159,16 +177,16 @@ def insert_pol(
 def insert_sep(
     rollouts: RolloutSep,
     step: jnp.ndarray,
-    observations: Dict[str, jnp.ndarray],
+    sound_ids: jnp.ndarray,
+    rirs: jnp.ndarray,
+    target_class: jnp.ndarray,
     masks: jnp.ndarray,
     pred_monoFromMem: jnp.ndarray,
 ) -> RolloutSep:
-    obs = {
-        k: _set_at(rollouts.observations[k], step + 1, observations[k])
-        for k in rollouts.observations
-    }
     return rollouts.replace(
-        observations=obs,
+        sound_ids=_set_at(rollouts.sound_ids, step + 1, sound_ids),
+        rirs=_set_at(rollouts.rirs, step + 1, rirs),
+        target_class=_set_at(rollouts.target_class, step + 1, target_class),
         prev_pred_monoFromMem=_set_at(
             rollouts.prev_pred_monoFromMem, step + 1, pred_monoFromMem
         ),
@@ -194,11 +212,10 @@ def after_update_pol(rollouts: RolloutPol) -> RolloutPol:
 
 @partial(jax.jit, donate_argnums=(0,))
 def after_update_sep(rollouts: RolloutSep) -> RolloutSep:
-    obs = {
-        k: _set_at(v, 0, v[-1]) for k, v in rollouts.observations.items()
-    }
     return rollouts.replace(
-        observations=obs,
+        sound_ids=_set_at(rollouts.sound_ids, 0, rollouts.sound_ids[-1]),
+        rirs=_set_at(rollouts.rirs, 0, rollouts.rirs[-1]),
+        target_class=_set_at(rollouts.target_class, 0, rollouts.target_class[-1]),
         prev_pred_monoFromMem=_set_at(
             rollouts.prev_pred_monoFromMem, 0, rollouts.prev_pred_monoFromMem[-1]
         ),

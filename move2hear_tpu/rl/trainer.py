@@ -1,0 +1,602 @@
+"""The PPO/DDPPO trainer (``audio_separation/rl/ppo/ppo_trainer.py``),
+redesigned for TPU.
+
+Host/device split (SURVEY.md §7 "hard parts"): the host only walks the graph
+and gathers RIR bytes; ONE fused jitted call per rollout step does audio
+rendering (RIR conv + STFT), the full separator chain, the acoustic memory,
+the policy act, per-step STFT-L2 logging stats, and the separation-reward
+utility. The reference instead pays host FFTs in 14 worker processes plus two
+extra no_grad forwards per step (ppo_trainer.py:294-374); here the "next
+step" forward IS the next iteration's forward (the memory-chain carry makes
+them identical, see _collect note below), halving separator compute.
+
+Reward override semantics (env_utils.py:690-714, ppo_trainer.py:383-405):
+  quality_improvement: r_t = q(mem_{t+1}, gt_{t+1}) - q(mem_t, gt_t) with
+  q(m, g) = -MSE(m, g) / mean(g^2); 0 for done envs; a x10 extra bonus of
+  q(mem_{t+1}, gt_{t+1}) at episode step MAX-2. Rewards are therefore
+  finalized one iteration late, then written into the rollout.
+
+Cyclic schedule (ppo_trainer.py:730-994): num_updates_per_cycle x
+(collect num_steps + update_pol), then num_updates_per_cycle x update_sep
+over the accumulated long separator buffer.
+
+Multi-chip: rollout buffers shard their env axis over the data mesh; params
+replicate. XLA then inserts gradient/stat collectives in the jitted updates —
+DDP allreduce and distributed_mean_and_var fall out of sharding propagation
+(SURVEY.md §2.9). Preemptive rollout sync is host-side (parallel/ddppo.py).
+"""
+
+import logging
+import os
+import time
+from collections import deque
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from move2hear_tpu.env.micro_scene import MicroSceneBundle, build_micro_scene
+from move2hear_tpu.env.vector_env import construct_envs
+from move2hear_tpu.eval.metrics import stft_l2_distance
+from move2hear_tpu.models.policy import ActOutput, Move2HearPolicy
+from move2hear_tpu.ops.frontend import render_binaural_mixture
+from move2hear_tpu.parallel.ddppo import RolloutSyncState, get_distrib_info
+from move2hear_tpu.parallel.mesh import make_mesh, replicate, shard_rollouts
+from move2hear_tpu.rl.base_trainer import BaseRLTrainer
+from move2hear_tpu.rl.gae import compute_returns
+from move2hear_tpu.rl.ppo import (
+    PPOConfig,
+    create_agent_state,
+    load_pretrained_passive_separators,
+    make_update_pol,
+    make_update_sep,
+)
+from move2hear_tpu.rl.rollout import (
+    after_update_pol,
+    after_update_sep,
+    create_rollout_pol,
+    create_rollout_sep,
+    insert_pol,
+    insert_sep,
+)
+from move2hear_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from move2hear_tpu.utils.registry import registry
+
+logger = logging.getLogger(__name__)
+
+
+@registry.register_trainer(name="ppo")
+class PPOTrainer(BaseRLTrainer):
+    def __init__(self, config, bundle: Optional[MicroSceneBundle] = None):
+        super().__init__(config)
+        self._bundle = bundle
+        self._obs_shapes = None
+        self.actor_critic: Optional[Move2HearPolicy] = None
+
+    # ------------------------------------------------------------------
+    def _ppo_config(self) -> PPOConfig:
+        p = self.config.RL.PPO
+        return PPOConfig(
+            clip_param=p.clip_param,
+            ppo_epoch=p.ppo_epoch,
+            num_mini_batch=p.num_mini_batch,
+            value_loss_coef=p.value_loss_coef,
+            entropy_coef=p.entropy_coef,
+            lr_pol=p.lr_pol,
+            lr_sep=p.lr_sep,
+            eps=p.eps,
+            max_grad_norm=p.max_grad_norm,
+            use_gae=p.use_gae,
+            gamma=p.gamma,
+            tau=p.tau,
+        )
+
+    def _make_bundle(self) -> MicroSceneBundle:
+        if self._bundle is not None:
+            return self._bundle
+        # Without external data, fall back to the synthetic micro-scene.
+        logger.warning("no scene bundle provided; using synthetic micro-scene")
+        near = self.config.RL.PPO.sep_reward_weight == 1.0
+        return build_micro_scene(
+            rows=4, cols=4, num_episodes=64, near_target=near,
+            rir_length=self.config.TPU.MAX_RIR_LENGTH,
+        )
+
+    def _make_envs(self, world_rank: int, world_size: int):
+        bundle = self._make_bundle()
+        cfg = self.config
+        n = cfg.NUM_PROCESSES
+        near = cfg.RL.PPO.sep_reward_weight == 1.0 and cfg.RL.PPO.nav_reward_weight == 0.0
+        env_fns = []
+        for i in range(n):
+            # per-rank, per-env seeds (ppo_trainer.py:605-613)
+            seed = cfg.SEED + world_rank * n + i
+            env_fns.append(
+                bundle.make_env_fn(
+                    max_episode_steps=cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS,
+                    with_distance_reward=cfg.RL.WITH_DISTANCE_REWARD and not near,
+                    distance_reward_scale=cfg.RL.DISTANCE_REWARD_SCALE,
+                    gt_mono_mag_norm=cfg.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM,
+                    possible_actions=tuple(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS),
+                    seed=seed,
+                    episodes=bundle.episodes.split_for_rank(
+                        (world_rank * n + i) % max(1, len(bundle.episodes)),
+                        max(1, min(world_size * n, len(bundle.episodes))),
+                    )
+                    if len(bundle.episodes) >= world_size * n
+                    else bundle.episodes,
+                )
+            )
+        self._wav_bank = bundle.audio_db.mono_bank()
+        return construct_envs(env_fns, use_sync=True), bundle
+
+    # ------------------------------------------------------------------
+    def _build_rollout_step(self, policy: Move2HearPolicy, gt_mono_mag_norm: float):
+        """One fused device program per env step."""
+
+        @jax.jit
+        def rollout_step(params, batch_stats, bank, host, hidden, masks,
+                         prev_mem_masked, rng):
+            variables = {"params": params}
+            if batch_stats:
+                variables = {"params": params, "batch_stats": batch_stats}
+
+            rendered = render_binaural_mixture(
+                bank[host["sound_ids"]], host["rirs"],
+                gt_mono_mag_norm=gt_mono_mag_norm,
+            )
+            obs = {
+                "mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
+                "gt_bin_comps": rendered.gt_bin_comps,
+                "gt_mono_comps": rendered.gt_mono_comps,
+                "target_class": host["target_class"],
+            }
+            if "rgb" in host:
+                obs["rgb"] = host["rgb"]
+            if "depth" in host:
+                obs["depth"] = host["depth"]
+
+            pred_masks = policy.apply(
+                variables, obs, method=Move2HearPolicy.get_binSepMasks
+            )
+            pred_mono = policy.apply(
+                variables, pred_masks, obs["mixed_bin_audio_mag"],
+                method=Move2HearPolicy.convert_bin2mono,
+            )
+            pred_mem = policy.apply(
+                variables, pred_mono, prev_mem_masked,
+                method=Move2HearPolicy.get_monoFromMem,
+            )
+            act: ActOutput = policy.apply(
+                variables, obs, hidden, masks, pred_masks, pred_mono, pred_mem,
+                rng, False, method=Move2HearPolicy.act,
+            )
+
+            gt_mono_mag = obs["gt_mono_comps"][..., 0::2][..., :1]
+            # separation-reward utility q = -MSE/mean(gt^2) (env_utils.py:709-714)
+            mse = jnp.mean(
+                jnp.square(pred_mem - gt_mono_mag), axis=(1, 2, 3)
+            )
+            gt_pow = jnp.mean(jnp.square(gt_mono_mag), axis=(1, 2, 3))
+            q = -mse / jnp.maximum(gt_pow, 1e-12)
+
+            bin_l2, mono_l2 = stft_l2_distance(
+                obs["mixed_bin_audio_mag"], pred_masks, obs["gt_bin_comps"],
+                pred_mono, obs["gt_mono_comps"],
+            )
+            _, mem_l2 = stft_l2_distance(
+                obs["mixed_bin_audio_mag"], pred_masks, obs["gt_bin_comps"],
+                pred_mem, obs["gt_mono_comps"],
+            )
+
+            stats = {
+                "q": q, "bin_l2": bin_l2, "mono_l2": mono_l2, "mem_l2": mem_l2,
+            }
+            return obs, pred_masks, pred_mono, pred_mem, act, stats
+
+        return rollout_step
+
+    def _host_batch(self, observations) -> Dict[str, np.ndarray]:
+        keys = observations[0].keys()
+        out = {}
+        for k in keys:
+            arr = np.stack([np.asarray(o[k]) for o in observations])
+            if arr.dtype == np.uint8:
+                out[k] = arr  # rgb ships uint8; cast to float on device
+            elif arr.dtype.kind in "iu":
+                out[k] = arr.astype(np.int32)
+            else:
+                out[k] = arr.astype(np.float32)
+        return out
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.config
+        ppo_cfg = self._ppo_config()
+        p = cfg.RL.PPO
+        local_rank, world_rank, world_size = get_distrib_info()
+
+        envs, bundle = self._make_envs(world_rank, world_size)
+        n_envs = envs.num_envs
+        t_steps = p.num_steps
+        cycle = p.num_updates_per_cycle
+        max_ep_steps = cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
+        sep_rewards = (
+            p.sep_reward_weight == 1.0 and p.nav_reward_weight == 0.0
+        )
+
+        mesh = make_mesh(
+            None if cfg.TPU.MESH_SHAPE[0] == -1 else cfg.TPU.MESH_SHAPE[0],
+            cfg.TPU.AXIS_NAME,
+        )
+
+        possible_actions = tuple(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS)
+        policy = Move2HearPolicy(
+            num_actions=len(possible_actions),
+            hidden_size=p.hidden_size,
+            extra_rgb=cfg.EXTRA_RGB,
+            extra_depth=cfg.EXTRA_DEPTH,
+            use_ddppo=p.use_ddppo,
+        )
+        self.actor_critic = policy
+
+        # --- init params -------------------------------------------------
+        obs0_host = self._host_batch(envs.reset())
+        gt_norm = cfg.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM
+        rollout_step = self._build_rollout_step(policy, gt_norm)
+
+        init_obs = {
+            "mixed_bin_audio_mag": jnp.zeros((n_envs, 512, 32, 2)),
+            "gt_bin_comps": jnp.zeros((n_envs, 512, 32, 4 * cfg.NUM_SOUNDS_IN_MIX)),
+            "gt_mono_comps": jnp.zeros((n_envs, 512, 32, 2 * cfg.NUM_SOUNDS_IN_MIX)),
+            "target_class": jnp.zeros((n_envs, 1), jnp.int32),
+        }
+        if "rgb" in obs0_host:
+            init_obs["rgb"] = jnp.zeros((n_envs, 128, 128, 3), jnp.uint8)
+        if "depth" in obs0_host:
+            init_obs["depth"] = jnp.zeros((n_envs, 128, 128, 1))
+        key = jax.random.PRNGKey(cfg.SEED + world_rank)
+        variables = policy.init(
+            key, init_obs, jnp.zeros((n_envs, p.hidden_size)), jnp.ones((n_envs, 1))
+        )
+        state = create_agent_state(ppo_cfg, variables)
+
+        # pretrained passive separators: load + freeze (ppo_trainer.py:543-577)
+        if p.pretrained_passive_separators_ckpt:
+            ckpt = load_checkpoint(p.pretrained_passive_separators_ckpt)
+            params = load_pretrained_passive_separators(
+                state.params, ckpt["params"]
+            )
+            batch_stats = dict(state.batch_stats or {})
+            for k, v in (ckpt.get("batch_stats") or {}).items():
+                batch_stats[k] = v
+            state = state.replace(params=params, batch_stats=batch_stats)
+            logger.info("loaded pretrained passive separators")
+
+        state = replicate(mesh, state)
+        wav_bank = replicate(mesh, jnp.asarray(self._wav_bank))
+
+        update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs))
+        update_sep = jax.jit(
+            make_update_sep(policy, ppo_cfg, n_envs, gt_mono_mag_norm=gt_norm)
+        )
+
+        # --- rollout storages -------------------------------------------
+        # policy storage keeps only what evaluate_actions consumes (the
+        # reference stores every sensor in both storages — GBs of GT specs the
+        # PPO update never reads, rollout_storage.py:25-30)
+        pol_sensors = [
+            k for k in ("mixed_bin_audio_mag", "rgb", "depth", "target_class")
+            if k in init_obs
+        ]
+        obs_shapes = {k: tuple(init_obs[k].shape[1:]) for k in pol_sensors}
+        rollouts_pol = create_rollout_pol(t_steps, n_envs, obs_shapes, p.hidden_size)
+        rollouts_sep = create_rollout_sep(
+            t_steps * cycle, n_envs,
+            num_sources=cfg.NUM_SOUNDS_IN_MIX,
+            rir_length=bundle.audio_db.rir_length,
+        )
+        if len(mesh.devices.flat) > 1:
+            # DDPPO over ICI: env axis sharded, params replicated; XLA inserts
+            # the gradient/stat collectives in the jitted updates.
+            rollouts_pol = shard_rollouts(mesh, rollouts_pol, cfg.TPU.AXIS_NAME)
+            rollouts_sep = shard_rollouts(mesh, rollouts_sep, cfg.TPU.AXIS_NAME)
+
+        sync = RolloutSyncState(
+            sync_frac=p.sync_frac,
+            short_rollout_threshold=p.short_rollout_threshold,
+            num_steps=t_steps,
+            world_size=world_size,
+        )
+
+        # --- initial forward --------------------------------------------
+        masks_now = jnp.ones((n_envs, 1))
+        hidden_now = jnp.zeros((n_envs, p.hidden_size))
+        prev_mem_masked = jnp.zeros((n_envs, 512, 32, 1))
+        key, sub = jax.random.split(key)
+        cur_obs, cur_masks_pred, cur_mono, cur_mem, cur_act, cur_stats = (
+            rollout_step(
+                state.params, state.batch_stats, wav_bank, obs0_host,
+                hidden_now, masks_now, prev_mem_masked, sub,
+            )
+        )
+        # seed slot 0 of both storages with the initial observation
+        rollouts_pol = rollouts_pol.replace(
+            observations={
+                k: rollouts_pol.observations[k].at[0].set(cur_obs[k])
+                for k in rollouts_pol.observations
+            }
+        )
+        rollouts_sep = rollouts_sep.replace(
+            sound_ids=rollouts_sep.sound_ids.at[0].set(
+                jnp.asarray(obs0_host["sound_ids"])
+            ),
+            rirs=rollouts_sep.rirs.at[0].set(jnp.asarray(obs0_host["rirs"])),
+            target_class=rollouts_sep.target_class.at[0].set(
+                jnp.asarray(obs0_host["target_class"])
+            ),
+        )
+
+        # --- episode stat windows (ppo_trainer.py:693-703) ---------------
+        win = p.reward_window_size
+        windows = {
+            k: deque(maxlen=win)
+            for k in (
+                "reward", "steps", "mono_l2_last", "mono_l2_all",
+                "mem_l2_last", "mem_l2_all", "bin_l2_all", "ndg", "dg", "count",
+            )
+        }
+        cur_ep = {
+            k: np.zeros((n_envs, 1))
+            for k in ("reward", "step", "bin", "mono", "mem")
+        }
+
+        env_time = 0.0
+        pth_time = 0.0
+        t_start = time.time()
+        update_count = 0
+        num_cycles = max(1, cfg.NUM_UPDATES // cycle)
+        # steady-state fps: measured from the end of the first full cycle
+        # (excludes jit compilation of the rollout step and both updates)
+        self._steady_t0 = None
+        self._steady_steps0 = 0
+        self.steady_fps = 0.0
+        total_env_steps = 0
+
+        os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+
+        # one fused on-device reward (env_utils.py:690-714): masked quality
+        # improvement + optional terminal bonus; no per-step host fetch
+        @jax.jit
+        def reward_fn(q_now, q_next, not_done, extra_mult):
+            r = (q_next - q_now) + q_next * extra_mult
+            return (r * not_done)[:, None]
+
+        host_actions = np.asarray(cur_act.action).ravel()
+
+        for cycle_idx in range(num_cycles):
+            sep_step = 0
+            for sub_update in range(cycle):
+                sync.new_rollout()
+                # ---- collect one rollout of t_steps ----------------------
+                for step_t in range(t_steps):
+                    t0 = time.time()
+                    outputs = envs.step([int(a) for a in host_actions])
+                    env_time += time.time() - t0
+
+                    t1 = time.time()
+                    obs_list, env_rewards, dones, infos = [
+                        list(x) for x in zip(*outputs)
+                    ]
+                    host = self._host_batch(obs_list)
+                    masks_next = jnp.asarray(
+                        [[0.0] if d else [1.0] for d in dones], jnp.float32
+                    )
+                    prev_mem_masked = cur_mem * masks_next[:, :, None, None]
+
+                    key, sub = jax.random.split(key)
+                    (
+                        next_obs, next_masks_pred, next_mono, next_mem,
+                        next_act, next_stats,
+                    ) = rollout_step(
+                        state.params, state.batch_stats, wav_bank, host,
+                        cur_act.hidden, masks_next, prev_mem_masked, sub,
+                    )
+
+                    # ---- rewards for THIS step (one-late finalize), on device
+                    if sep_rewards:
+                        extra_mult = (
+                            p.extra_reward_multiplier
+                            if int(cur_ep["step"][0, 0]) == max_ep_steps - 2
+                            else 0.0
+                        )
+                        rewards_dev = reward_fn(
+                            cur_stats["q"], next_stats["q"], masks_next[:, 0],
+                            jnp.float32(extra_mult),
+                        )
+                    else:
+                        rewards_dev = jnp.asarray(
+                            np.asarray(env_rewards, np.float32)
+                        )[:, None]
+
+                    # ---- ONE host fetch per step: next action + step stats
+                    (
+                        host_actions_arr, rewards_h, bin_h, mono_h, mem_h,
+                    ) = jax.device_get(
+                        (
+                            next_act.action, rewards_dev, cur_stats["bin_l2"],
+                            cur_stats["mono_l2"], cur_stats["mem_l2"],
+                        )
+                    )
+                    host_actions = np.asarray(host_actions_arr).ravel()
+
+                    # ---- episode stats (ppo_trainer.py:426-455) ----------
+                    d = np.asarray(dones).astype(np.float64)[:, None]
+                    cur_ep["reward"] += np.asarray(rewards_h)
+                    cur_ep["step"] += 1
+                    cur_ep["bin"] += np.asarray(bin_h)
+                    cur_ep["mono"] += np.asarray(mono_h)
+                    cur_ep["mem"] += np.asarray(mem_h)
+                    if d.any():
+                        idx = d[:, 0] > 0
+                        steps_i = cur_ep["step"][idx]
+                        windows["reward"].extend(cur_ep["reward"][idx, 0])
+                        windows["steps"].extend(steps_i[:, 0])
+                        windows["bin_l2_all"].extend(
+                            (cur_ep["bin"][idx] / steps_i)[:, 0]
+                        )
+                        windows["mono_l2_all"].extend(
+                            (cur_ep["mono"][idx] / steps_i)[:, 0]
+                        )
+                        windows["mem_l2_all"].extend(
+                            (cur_ep["mem"][idx] / steps_i)[:, 0]
+                        )
+                        windows["mono_l2_last"].extend(np.asarray(mono_h)[idx, 0])
+                        windows["mem_l2_last"].extend(np.asarray(mem_h)[idx, 0])
+                        windows["ndg"].extend(
+                            np.asarray(
+                                [
+                                    i["normalized_geo_distance_to_target_audio_source"]
+                                    for i in infos
+                                ]
+                            )[idx]
+                        )
+                        windows["dg"].extend(
+                            np.asarray(
+                                [
+                                    i["geo_distance_to_target_audio_source"]
+                                    for i in infos
+                                ]
+                            )[idx]
+                        )
+                        for k in cur_ep:
+                            cur_ep[k][idx] = 0.0
+
+                    # ---- inserts ----------------------------------------
+                    next_obs_pol = {k: next_obs[k] for k in pol_sensors}
+                    rollouts_pol = insert_pol(
+                        rollouts_pol, jnp.asarray(step_t), next_obs_pol,
+                        cur_act.hidden,
+                        cur_act.action.astype(jnp.int32),
+                        cur_act.action_log_probs, cur_act.value, rewards_dev,
+                        masks_next, cur_masks_pred, cur_mono, cur_mem,
+                    )
+                    rollouts_sep = insert_sep(
+                        rollouts_sep, jnp.asarray(sep_step),
+                        jnp.asarray(host["sound_ids"]),
+                        jnp.asarray(host["rirs"]),
+                        jnp.asarray(host["target_class"]),
+                        masks_next, cur_mem,
+                    )
+                    sep_step += 1
+                    pth_time += time.time() - t1
+
+                    (
+                        cur_obs, cur_masks_pred, cur_mono, cur_mem, cur_act,
+                        cur_stats,
+                    ) = (
+                        next_obs, next_masks_pred, next_mono, next_mem,
+                        next_act, next_stats,
+                    )
+
+                    total_env_steps += n_envs
+                    if sync.should_stop_early(step_t + 1):
+                        break
+                sync.mark_done()
+
+                # ---- policy update ----------------------------------------
+                t2 = time.time()
+                next_value = cur_act.value  # value of obs_T with hidden_T
+                returns = compute_returns(
+                    rollouts_pol.rewards,
+                    rollouts_pol.value_preds.at[-1].set(next_value),
+                    rollouts_pol.masks,
+                    ppo_cfg.gamma, ppo_cfg.tau, ppo_cfg.use_gae,
+                )
+                rollouts_pol = rollouts_pol.replace(
+                    returns=returns,
+                    value_preds=rollouts_pol.value_preds.at[-1].set(next_value),
+                )
+                key, sub = jax.random.split(key)
+                state, (value_loss, action_loss, entropy) = update_pol(
+                    state, rollouts_pol.as_dict(), sub
+                )
+                rollouts_pol = after_update_pol(rollouts_pol)
+                pth_time += time.time() - t2
+                update_count += 1
+
+                if update_count % cfg.LOG_INTERVAL == 0 and world_rank == 0:
+                    fps = (update_count * t_steps * n_envs) / max(
+                        1e-9, time.time() - t_start
+                    )
+                    logger.info(
+                        "update %d | fps %.1f | env t %.1f | dev t %.1f | "
+                        "value %.4f action %.4f entropy %.3f | "
+                        "win reward %.4f | win mem-L2(last) %.4f",
+                        update_count, fps, env_time, pth_time,
+                        float(value_loss), float(action_loss), float(entropy),
+                        float(np.mean(windows["reward"])) if windows["reward"] else 0.0,
+                        float(np.mean(windows["mem_l2_last"])) if windows["mem_l2_last"] else 0.0,
+                    )
+
+            # ---- separator refit phase (ppo_trainer.py:979-994) ----------
+            t3 = time.time()
+            for _ in range(cycle):
+                key, sub = jax.random.split(key)
+                state, (bin_loss, mono_loss, mem_loss) = update_sep(
+                    state, rollouts_sep.as_dict(), wav_bank, sub
+                )
+            rollouts_sep = after_update_sep(rollouts_sep)
+            pth_time += time.time() - t3
+            if world_rank == 0:
+                logger.info(
+                    "cycle %d sep losses: bin %.4f mono %.4f mem %.4f",
+                    cycle_idx, float(bin_loss), float(mono_loss), float(mem_loss),
+                )
+
+            if self._steady_t0 is None:
+                jax.block_until_ready(state.params)
+                self._steady_t0 = time.time()
+                self._steady_steps0 = total_env_steps
+            elif total_env_steps > self._steady_steps0:
+                self.steady_fps = (total_env_steps - self._steady_steps0) / (
+                    time.time() - self._steady_t0
+                )
+
+            if (
+                world_rank == 0
+                and cycle_idx % max(1, cfg.CHECKPOINT_INTERVAL // cycle) == 0
+            ):
+                self._save(state, update_count, cycle_idx)
+
+        if world_rank == 0:
+            self._save(state, update_count, num_cycles)
+        self._final_state = state
+        self._windows = windows
+        envs.close()
+
+    # ------------------------------------------------------------------
+    def _save(self, state, update_count, ckpt_idx):
+        save_checkpoint(
+            os.path.join(self.config.CHECKPOINT_FOLDER, f"ckpt.{ckpt_idx}.pth"),
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state_pol": state.opt_state_pol,
+                "opt_state_sep": state.opt_state_sep,
+                "extra_state": {"update_count": update_count},
+                "config": self.config.to_dict(),
+            },
+        )
+
+    def load_checkpoint(self, checkpoint_path: str):
+        return load_checkpoint(checkpoint_path)
+
+    def _eval_checkpoint(self, checkpoint_path: str, checkpoint_index: int = 0):
+        from move2hear_tpu.eval.evaluator import evaluate_checkpoint
+
+        return evaluate_checkpoint(
+            self.config, checkpoint_path, checkpoint_index, bundle=self._bundle
+        )

@@ -111,24 +111,22 @@ def test_update_pol_only_touches_policy_island(setup):
 
 def test_update_sep_only_touches_acoustic_mem(setup):
     policy, cfg, state, _, rng = setup
-    roll_sep = create_rollout_sep(T, N, OBS_SHAPES)
+    rir_len = 400
+    roll_sep = create_rollout_sep(T, N, num_sources=2, rir_length=rir_len)
+    bank = jnp.asarray(rng.standard_normal((4, 16000)) * 5000, jnp.float32)
     for step in range(T):
-        obs = {
-            k: jnp.asarray(rng.uniform(0, 1, (N,) + s), jnp.float32)
-            if k != "target_class"
-            else jnp.zeros((N, 1), jnp.int32)
-            for k, s in OBS_SHAPES.items()
-        }
         roll_sep = insert_sep(
             roll_sep,
             jnp.asarray(step),
-            obs,
+            jnp.asarray(rng.integers(0, 4, (N, 2)), jnp.int32),
+            jnp.asarray(rng.standard_normal((N, 2, rir_len, 2)) * 0.05, jnp.float32),
+            jnp.zeros((N, 1), jnp.int32),
             jnp.ones((N, 1)),
             jnp.asarray(rng.uniform(0, 1, (N, F, TT, 1)), jnp.float32),
         )
-    update = jax.jit(make_update_sep(policy, cfg, N))
+    update = jax.jit(make_update_sep(policy, cfg, N, gt_mono_mag_norm=1.2))
     new_state, (bin_loss, mono_loss, mem_loss) = update(
-        state, roll_sep.as_dict(), jax.random.PRNGKey(2)
+        state, roll_sep.as_dict(), bank, jax.random.PRNGKey(2)
     )
     for x in (bin_loss, mono_loss, mem_loss):
         assert np.isfinite(float(x)) and float(x) >= 0
