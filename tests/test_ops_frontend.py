@@ -70,13 +70,14 @@ def test_frontend_matches_reference_chain(rng):
     for b in range(B):
         ref_mag, ref_phase, ref_bin, ref_mono = reference_render(mono[b], rirs[b], 1.2)
         assert np.asarray(out.mixed_bin_audio_mag)[b].shape == ref_mag.shape
+        # rtol covers float16 rounding-boundary flips at large magnitudes
         np.testing.assert_allclose(
-            np.asarray(out.mixed_bin_audio_mag)[b], ref_mag, atol=2e-3
+            np.asarray(out.mixed_bin_audio_mag)[b], ref_mag, atol=2e-3, rtol=2e-3
         )
         np.testing.assert_allclose(np.asarray(out.gt_bin_comps)[b, ..., 0::2],
-                                   ref_bin[..., 0::2], atol=2e-3)
+                                   ref_bin[..., 0::2], atol=2e-3, rtol=2e-3)
         np.testing.assert_allclose(np.asarray(out.gt_mono_comps)[b, ..., 0::2],
-                                   ref_mono[..., 0::2], atol=5e-3)
+                                   ref_mono[..., 0::2], atol=5e-3, rtol=2e-3)
         # Phases only need to agree where magnitude is non-negligible.
         mag = ref_bin[..., 0::2]
         ph_err = np.abs(np.asarray(out.gt_bin_comps)[b, ..., 1::2] - ref_bin[..., 1::2])
