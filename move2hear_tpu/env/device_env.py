@@ -1,0 +1,302 @@
+"""Device-resident AAViSS environment (gymnax-style).
+
+The reference steps N simulator processes on host CPUs every rollout step
+(``common/env_utils.py``), paying pipes + FFTs + host<->device bounces. Here
+the whole environment is a pure function over device arrays:
+
+  - the grid graph (positions, padded adjacency, precomputed edge directions,
+    all-pairs BFS distances) lives in device memory;
+  - episodes (start pose, source nodes, sound ids, target class) are arrays
+    indexed by a per-env cursor over a host-shuffled order table;
+  - observation banks: pre-rendered RGB/depth frames (node x rotation), the
+    mono-waveform bank, and the binaural-RIR bank (azimuth x receiver x
+    source), so an observation is a handful of gathers;
+  - movement semantics are the reference's exactly (simulator_train.py:
+    267-353): orientation = (270 - rotation) mod 360, azimuth = -rotation mod
+    360, forward walks to the FIRST adjacency-ordered neighbor whose edge
+    direction matches the orientation (or differs by exactly 45 for diagonal
+    edges), else stays put.
+
+A full T-step rollout then compiles into one ``lax.scan`` with the policy —
+zero host round-trips during collection. The host-process VectorEnv path
+(env/vector_env.py) remains for file-backed scenes too large for device
+banks and as the parity oracle (tests/test_device_env.py).
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from move2hear_tpu.env.micro_scene import MicroSceneBundle
+
+PAUSE, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT = 0, 1, 2, 3
+
+
+class DeviceScene(flax.struct.PyTreeNode):
+    positions: jnp.ndarray    # (V, 3) f32
+    neighbors: jnp.ndarray    # (V, D) i32, -1 padded, adjacency order kept
+    edge_dirs: jnp.ndarray    # (V, D) i32 degrees, 0 where padded
+    dist: jnp.ndarray         # (V, V) i32 BFS steps, -1 unreachable
+    grid_size: jnp.ndarray    # () f32
+
+
+class DeviceEpisodes(flax.struct.PyTreeNode):
+    start_node: jnp.ndarray    # (E,) i32
+    start_rot: jnp.ndarray     # (E,) i32 degrees
+    sources: jnp.ndarray       # (E, S) i32 node ids, target first
+    sound_ids: jnp.ndarray     # (E, S) i32
+    target_class: jnp.ndarray  # (E,) i32
+    start_geo: jnp.ndarray     # (E,) f32
+
+
+class DeviceEnvState(flax.struct.PyTreeNode):
+    node: jnp.ndarray        # (N,) i32
+    rot: jnp.ndarray         # (N,) i32
+    step_count: jnp.ndarray  # (N,) i32 steps taken in current episode
+    ep: jnp.ndarray          # (N,) i32 current episode index
+    cursor: jnp.ndarray      # (N,) i32 position in the order table
+    order: jnp.ndarray       # (N, K) i32 per-env episode order
+    prev_geo: jnp.ndarray    # (N,) f32 for the nav distance-delta reward
+
+
+class DeviceObs(NamedTuple):
+    node: jnp.ndarray
+    rot_idx: jnp.ndarray       # rotation / 90
+    azimuth_idx: jnp.ndarray   # azimuth / 90
+    sound_ids: jnp.ndarray     # (N, S)
+    sources: jnp.ndarray       # (N, S)
+    target_class: jnp.ndarray  # (N, 1)
+
+
+# --- builders ----------------------------------------------------------------
+
+def build_device_scene(scene) -> DeviceScene:
+    v = scene.num_nodes
+    max_deg = max((len(ns) for ns in scene.neighbors), default=1)
+    neighbors = np.full((v, max_deg), -1, np.int32)
+    edge_dirs = np.zeros((v, max_deg), np.int32)
+    for i, ns in enumerate(scene.neighbors):
+        for j, nb in enumerate(ns):
+            neighbors[i, j] = nb
+            edge_dirs[i, j] = scene.edge_direction(i, nb)
+    dist = np.stack([scene._bfs(i) for i in range(v)]).astype(np.int32)
+    return DeviceScene(
+        positions=jnp.asarray(scene.positions, jnp.float32),
+        neighbors=jnp.asarray(neighbors),
+        edge_dirs=jnp.asarray(edge_dirs),
+        dist=jnp.asarray(dist),
+        grid_size=jnp.float32(scene.grid_size),
+    )
+
+
+def build_device_episodes(episodes, audio_db, scene) -> DeviceEpisodes:
+    eps = episodes.episodes
+    return DeviceEpisodes(
+        start_node=jnp.asarray([e.start_node for e in eps], jnp.int32),
+        start_rot=jnp.asarray([e.start_rotation for e in eps], jnp.int32),
+        sources=jnp.asarray([e.source_nodes for e in eps], jnp.int32),
+        sound_ids=jnp.asarray(
+            [[audio_db.sound_id(n) for n in e.sound_names] for e in eps],
+            jnp.int32,
+        ),
+        target_class=jnp.asarray([e.target_class for e in eps], jnp.int32),
+        start_geo=jnp.asarray([e.geodesic_distance for e in eps], jnp.float32),
+    )
+
+
+def build_rir_bank(scene, audio_db) -> jnp.ndarray:
+    """(4 azimuths, V receivers, V sources, R, 2). For scenes too large to
+    afford V^2 RIRs in HBM, use the host env path instead."""
+    v = scene.num_nodes
+    r = audio_db.rir_length
+    bank = np.zeros((4, v, v, r, 2), np.float32)
+    for az_idx, az in enumerate((0, 90, 180, 270)):
+        for recv in range(v):
+            for src in range(v):
+                bank[az_idx, recv, src] = audio_db.get_rir(
+                    scene.name, az, recv, src
+                )
+    return jnp.asarray(bank)
+
+
+def build_frame_banks(scene, frame_cache, height=128, width=128):
+    """rgb (V, 4, H, W, 3) uint8 + depth (V, 4, H, W, 1) f32, indexed by
+    (node, rotation/90)."""
+    v = scene.num_nodes
+    rgb = np.zeros((v, 4, height, width, 3), np.uint8)
+    depth = np.zeros((v, 4, height, width, 1), np.float32)
+    for node in range(v):
+        for rot_idx, rot in enumerate((0, 90, 180, 270)):
+            frames = frame_cache.get(scene.name, node, rot)
+            if "rgb" in frames:
+                rgb[node, rot_idx] = frames["rgb"]
+            if "depth" in frames:
+                depth[node, rot_idx] = frames["depth"]
+    return jnp.asarray(rgb), jnp.asarray(depth)
+
+
+class DeviceBundle(NamedTuple):
+    scene: DeviceScene
+    episodes: DeviceEpisodes
+    wav_bank: jnp.ndarray   # (num_sounds, L)
+    rir_bank: jnp.ndarray   # (4, V, V, R, 2)
+    rgb_bank: Optional[jnp.ndarray]
+    depth_bank: Optional[jnp.ndarray]
+
+
+def build_device_bundle(
+    bundle: MicroSceneBundle, episodes=None, with_frames=True
+) -> DeviceBundle:
+    eps = episodes if episodes is not None else bundle.episodes
+    rgb_bank = depth_bank = None
+    if with_frames and bundle.frame_cache is not None:
+        rgb_bank, depth_bank = build_frame_banks(bundle.scene, bundle.frame_cache)
+    return DeviceBundle(
+        scene=build_device_scene(bundle.scene),
+        episodes=build_device_episodes(eps, bundle.audio_db, bundle.scene),
+        wav_bank=jnp.asarray(bundle.audio_db.mono_bank()),
+        rir_bank=build_rir_bank(bundle.scene, bundle.audio_db),
+        rgb_bank=rgb_bank,
+        depth_bank=depth_bank,
+    )
+
+
+# --- env dynamics ------------------------------------------------------------
+
+def _forward_neighbor(scene: DeviceScene, node, orientation):
+    """Vectorized over env batch: first adjacency-ordered matching neighbor."""
+    nbrs = scene.neighbors[node]          # (N, D)
+    dirs = scene.edge_dirs[node]          # (N, D)
+    valid = nbrs >= 0
+    cardinal = (
+        (dirs == 0) | (dirs == 90) | (dirs == 180) | (dirs == 270)
+    )
+    ori = orientation[:, None]
+    match = jnp.where(
+        cardinal, dirs == ori, jnp.abs(dirs - ori) == 45
+    ) & valid
+    any_match = match.any(axis=1)
+    first = jnp.argmax(match, axis=1)
+    chosen = jnp.take_along_axis(nbrs, first[:, None], axis=1)[:, 0]
+    return jnp.where(any_match, chosen, node)
+
+
+def env_reset_all(
+    scene: DeviceScene, episodes: DeviceEpisodes, order: jnp.ndarray
+) -> DeviceEnvState:
+    """order: (N, K) per-env episode index table (host-shuffled)."""
+    n = order.shape[0]
+    ep = order[:, 0]
+    node = episodes.start_node[ep]
+    return DeviceEnvState(
+        node=node,
+        rot=episodes.start_rot[ep],
+        step_count=jnp.zeros((n,), jnp.int32),
+        ep=ep,
+        cursor=jnp.zeros((n,), jnp.int32),
+        order=order,
+        prev_geo=episodes.start_geo[ep],
+    )
+
+
+def env_step(
+    scene: DeviceScene,
+    episodes: DeviceEpisodes,
+    state: DeviceEnvState,
+    action_codes: jnp.ndarray,   # (N,) sim action codes (PAUSE/FWD/L/R)
+    max_episode_steps: int,
+) -> Tuple[DeviceEnvState, dict]:
+    """One env step for all N envs + auto-reset at the horizon (the done rule
+    of environments.py:94-98 is episode_over = step budget exhausted)."""
+    orientation = (270 - state.rot) % 360
+    fwd = _forward_neighbor(scene, state.node, orientation)
+    node = jnp.where(action_codes == MOVE_FORWARD, fwd, state.node)
+    rot = (
+        state.rot
+        + 90 * (action_codes == TURN_LEFT)
+        - 90 * (action_codes == TURN_RIGHT)
+    ) % 360
+
+    step_count = state.step_count + 1
+    done = step_count >= max_episode_steps
+
+    target = episodes.sources[state.ep, 0]
+    geo = scene.dist[node, target].astype(jnp.float32) * scene.grid_size
+    nav_reward = state.prev_geo - geo
+    start_geo = episodes.start_geo[state.ep]
+    ndg = jnp.where(start_geo > 0, geo / start_geo, -1.0)
+
+    # auto-reset: advance cursor, load next episode's pose
+    k = state.order.shape[1]
+    cursor_next = jnp.where(done, (state.cursor + 1) % k, state.cursor)
+    ep_next = jnp.take_along_axis(state.order, cursor_next[:, None], axis=1)[:, 0]
+    ep_next = jnp.where(done, ep_next, state.ep)
+    node_next = jnp.where(done, episodes.start_node[ep_next], node)
+    rot_next = jnp.where(done, episodes.start_rot[ep_next], rot)
+    geo_next = jnp.where(done, episodes.start_geo[ep_next], geo)
+
+    new_state = DeviceEnvState(
+        node=node_next,
+        rot=rot_next,
+        step_count=jnp.where(done, 0, step_count),
+        ep=ep_next,
+        cursor=cursor_next,
+        order=state.order,
+        prev_geo=geo_next,
+    )
+    info = {
+        "done": done,
+        "nav_reward": nav_reward,
+        "geo": geo,
+        "ndg": ndg,
+        # true when the NEXT step is the terminal-bonus step (the reference's
+        # current_episode_step == MAX-2 check, ppo_trainer.py:395)
+        "at_bonus_step": step_count == max_episode_steps - 2,
+    }
+    return new_state, info
+
+
+def observe(
+    episodes: DeviceEpisodes, state: DeviceEnvState
+) -> DeviceObs:
+    azimuth = (-state.rot) % 360
+    return DeviceObs(
+        node=state.node,
+        rot_idx=(state.rot // 90) % 4,
+        azimuth_idx=(azimuth // 90) % 4,
+        sound_ids=episodes.sound_ids[state.ep],
+        sources=episodes.sources[state.ep],
+        target_class=episodes.target_class[state.ep][:, None],
+    )
+
+
+def gather_sensors(bundle: DeviceBundle, obs: DeviceObs):
+    """Materialize raw sensor inputs from the banks: mono wavs, RIRs, frames."""
+    mono = bundle.wav_bank[obs.sound_ids]                    # (N, S, L)
+    rirs = bundle.rir_bank[obs.azimuth_idx[:, None], obs.node[:, None], obs.sources]
+    out = {"mono": mono, "rirs": rirs, "target_class": obs.target_class}
+    if bundle.rgb_bank is not None:
+        out["rgb"] = bundle.rgb_bank[obs.node, obs.rot_idx]
+    if bundle.depth_bank is not None:
+        out["depth"] = bundle.depth_bank[obs.node, obs.rot_idx]
+    return out
+
+
+def make_order_table(num_envs: int, num_episodes: int, seed: int) -> np.ndarray:
+    """Per-env shuffled episode order, splitting episodes round-robin when
+    there are enough (env_utils.py:563-567 scene split analog)."""
+    rng = np.random.default_rng(seed)
+    if num_episodes >= num_envs:
+        per = num_episodes // num_envs
+        table = np.zeros((num_envs, per), np.int64)
+        perm = rng.permutation(num_episodes)
+        for i in range(num_envs):
+            table[i] = perm[i * per : (i + 1) * per]
+    else:
+        table = np.stack(
+            [rng.permutation(num_episodes) for _ in range(num_envs)]
+        )
+    return table.astype(np.int32)

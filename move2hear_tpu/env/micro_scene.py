@@ -70,10 +70,17 @@ def build_micro_scene(
     image_size: int = 128,
     seed: int = 0,
     name: str = "micro",
+    unheard_sounds: bool = False,
 ) -> MicroSceneBundle:
+    """unheard_sounds: use a disjoint procedural sound pool (same classes,
+    different waveforms) — the synthetic analog of the reference's
+    unheard-sound eval splits (README.md:59-89, val/test *Unheard presets)."""
     scene = GraphScene.grid(name, rows, cols)
     audio_db = SyntheticAudioDB(
-        DEFAULT_SOUNDS, wav_length=wav_length, rir_length=rir_length, seed=seed
+        DEFAULT_SOUNDS,
+        wav_length=wav_length,
+        rir_length=rir_length,
+        seed=seed + (10_000 if unheard_sounds else 0),
     )
     frame_cache = SyntheticFrameCache(image_size, image_size)
     episodes = generate_episodes(

@@ -1,0 +1,204 @@
+"""Pallas TPU kernels for the audio hot path.
+
+Two kernels where manual fusion beats relying on XLA:
+
+1. ``masked_mix_slice16``: the U-Net / AudioCNN input transform
+   ``slice16(log1p(clamp(expm1(mix) * mask, 0)))`` — three transcendentals, a
+   clamp and the 16-way frequency-slice layout permutation fused into one
+   VMEM-resident pass per batch element (one HBM read of mix+mask, one HBM
+   write of the sliced tensor; XLA materializes the pre-permute intermediate).
+
+2. ``overlap_add``: the ISTFT overlap-add with squared-window normalization —
+   a scatter-accumulate XLA lowers to a serial chain; here it is a
+   VMEM-accumulated loop over frames per batch element.
+
+Both have jnp reference paths (used automatically off-TPU and in tests for
+equivalence); select with ``use_pallas=None`` (auto), True or False.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from move2hear_tpu.ops.spec import SLICE_FACTOR, apply_mask_log1p, slice16
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+# Mosaic availability is probed once per kernel: some TPU runtimes (e.g. the
+# axon remote-compile path) reject kernels the lowering nominally supports; we
+# fall back to the fused-by-XLA jnp path rather than fail.
+_PALLAS_STATUS = {}
+
+
+def _try_pallas(name, fn, fallback):
+    status = _PALLAS_STATUS.get(name)
+    if status is False:
+        return fallback()
+    try:
+        out = fn()
+        _PALLAS_STATUS[name] = True
+        return out
+    except Exception:
+        _PALLAS_STATUS[name] = False
+        return fallback()
+
+
+# ---------------------------------------------------------------------------
+# 1. fused masked-mix + log1p + slice16
+# ---------------------------------------------------------------------------
+
+def _masked_mix_slice16_kernel(mix_ref, mask_ref, out_ref):
+    # block: mix/mask (F, T*C) viewed as (F, T, C); out (F//16, T, C*16)
+    f, t, c = mix_ref.shape
+    k = SLICE_FACTOR
+    # exp/log spelled without expm1/log1p (unimplemented in Pallas TC lowering)
+    x = (jnp.exp(mix_ref[:]) - 1.0) * mask_ref[:]
+    x = jnp.log(1.0 + jnp.maximum(x, 0.0))
+    # slice16: (F, T, C) -> (k, F/k, T, C) -> (F/k, T, C, k) -> (F/k, T, C*k)
+    x = x.reshape(k, f // k, t, c)
+    x = jnp.moveaxis(x, 0, -1)
+    out_ref[:] = x.reshape(f // k, t, c * k)
+
+
+def masked_mix_slice16(
+    mixed_log_mag: jnp.ndarray, mask: jnp.ndarray, use_pallas=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, F, T, C) x (B, F, T, C) -> (B, F/16, T, 16C), fused."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+
+    def fallback():
+        return slice16(apply_mask_log1p(mixed_log_mag, mask))
+
+    if not use_pallas and not interpret:
+        return fallback()
+    return _try_pallas(
+        "masked_mix_slice16",
+        lambda: _masked_mix_slice16_call(mixed_log_mag, mask, interpret),
+        fallback,
+    )
+
+
+def _masked_mix_slice16_call(mixed_log_mag, mask, interpret):
+    b, f, t, c = mixed_log_mag.shape
+    return pl.pallas_call(
+        _masked_mix_slice16_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, f, t, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, f, t, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, f // SLICE_FACTOR, t, c * SLICE_FACTOR),
+            lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, f // SLICE_FACTOR, t, c * SLICE_FACTOR), mixed_log_mag.dtype
+        ),
+        interpret=interpret,
+    )(mixed_log_mag, mask)
+
+
+# ---------------------------------------------------------------------------
+# 2. ISTFT overlap-add
+# ---------------------------------------------------------------------------
+
+def _np_hann(n):
+    i = np.arange(n)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * i / n))
+
+
+def _ola_kernel(frames_ref, win_ref, env_ref, out_ref, *, hop, n_fft, n_frames):
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(i, _):
+        fr = frames_ref[i, :] * win_ref[0, :]
+        cur = out_ref[0, pl.ds(i * hop, n_fft)]
+        out_ref[0, pl.ds(i * hop, n_fft)] = cur + fr
+        return 0
+
+    jax.lax.fori_loop(0, n_frames, body, 0)
+    out_ref[:] = out_ref[:] * env_ref[:]
+
+
+def overlap_add(
+    frames: jnp.ndarray,
+    n_fft: int = 1023,
+    hop: int = 512,
+    use_pallas=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, n_frames, n_fft) windowed-irfft frames -> (B, out_len) signal with
+    squared-window normalization (the core of librosa.istft)."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    b, n_frames, nf = frames.shape
+    assert nf == n_fft
+    out_len = n_fft + hop * (n_frames - 1)
+
+    win = _np_hann(n_fft)
+    env = np.zeros(out_len)
+    for s in range(n_frames):
+        env[s * hop : s * hop + n_fft] += win**2
+    tiny = np.finfo(np.float32).tiny
+    inv_env = np.where(env > tiny, 1.0 / np.where(env > tiny, env, 1.0), 1.0)
+
+    def fallback():
+        starts = np.arange(n_frames) * hop
+        idx = jnp.asarray((starts[:, None] + np.arange(n_fft)).reshape(-1))
+
+        def one(fr):
+            return (
+                jnp.zeros((out_len,), frames.dtype)
+                .at[idx]
+                .add((fr * jnp.asarray(win, frames.dtype)).reshape(-1))
+            )
+
+        return jax.vmap(one)(frames) * jnp.asarray(inv_env, frames.dtype)
+
+    if not use_pallas and not interpret:
+        return fallback()
+
+    def run():
+        return _ola_call(frames, win, inv_env, n_fft, hop, n_frames, out_len,
+                         interpret)
+
+    return _try_pallas("overlap_add", run, fallback)
+
+
+def _ola_call(frames, win, inv_env, n_fft, hop, n_frames, out_len, interpret):
+    b = frames.shape[0]
+    kernel = partial(_ola_kernel, hop=hop, n_fft=n_fft, n_frames=n_frames)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, n_frames, n_fft), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_len), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_len), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, out_len), frames.dtype),
+        interpret=interpret,
+    )(
+        frames,
+        jnp.asarray(win, frames.dtype)[None],
+        jnp.asarray(inv_env, frames.dtype)[None],
+    )

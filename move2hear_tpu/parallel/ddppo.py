@@ -179,6 +179,22 @@ class TCPNumDoneStore(NumDoneStore):
             self._server.shutdown()
 
 
+def requeue_job():
+    """Requeue the SLURM job on preemption (ddppo_utils.py:98-110): only the
+    REQUEUE-flagged rank-0 process calls scontrol."""
+    import subprocess
+
+    if not REQUEUE.is_set():
+        return False
+    job_id = os.environ.get("SLURM_JOB_ID")
+    if job_id is None:
+        return False
+    _, world_rank, _ = get_distrib_info()
+    if world_rank == 0:
+        subprocess.run(["scontrol", "requeue", job_id], check=False)
+    return True
+
+
 # --- interrupted state -------------------------------------------------------
 
 def interrupted_state_path(job_id) -> str:

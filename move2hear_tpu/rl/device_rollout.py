@@ -1,0 +1,411 @@
+"""Fully on-device rollout collection.
+
+One jitted program collects an entire T-step rollout: ``lax.scan`` over
+{render from banks -> separator chain -> acoustic memory -> policy act ->
+device env step}, followed by a single extra forward on the final observation
+(for the reward baseline q_T and the bootstrap value). Zero host round-trips
+during collection — the reference instead crosses the host/device boundary
+4+ times per step (ppo_trainer.py:253-478).
+
+Reward semantics match the reference exactly (env_utils.py:690-714):
+  r_t = not_done_t * (q_{t+1} - q_t + bonus_t * extra_mult * q_{t+1}),
+  q = -MSE(memPred, gt_mono)/mean(gt_mono^2), bonus at episode step MAX-2;
+nav path: r_t = geodesic delta * scale.
+
+The separator-refit buffer stores only *bank indices* per step
+(RolloutSepIdx); update_sep_device re-renders from the banks inside the loss.
+"""
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from move2hear_tpu.env.device_env import (
+    DeviceBundle,
+    DeviceEnvState,
+    env_step,
+    gather_sensors,
+    observe,
+)
+from move2hear_tpu.eval.metrics import stft_l2_distance
+from move2hear_tpu.models.policy import ActOutput, Move2HearPolicy
+from move2hear_tpu.ops.frontend import render_binaural_mixture
+from move2hear_tpu.rl.gae import compute_returns
+from move2hear_tpu.rl.ppo import (
+    AgentState,
+    PPOConfig,
+    SEP_TRAIN_KEYS,
+    _epoch_perms,
+    _split,
+    make_optimizers,
+)
+
+
+class RolloutSepIdx(flax.struct.PyTreeNode):
+    """(T_sep, N, ...) bank-index separator buffer — a few MB instead of the
+    reference's multi-GB spectrogram storage."""
+
+    sound_ids: jnp.ndarray     # (T, N, S)
+    az_idx: jnp.ndarray        # (T, N)
+    node: jnp.ndarray          # (T, N)
+    sources: jnp.ndarray       # (T, N, S)
+    target_class: jnp.ndarray  # (T, N, 1)
+    prev_mem: jnp.ndarray      # (T, N, F, Tt, 1) memory entering the step
+    masks: jnp.ndarray         # (T, N, 1) not-done mask entering the step
+
+    @classmethod
+    def create(cls, t_total, n, s, f=512, tt=32):
+        z = jnp.zeros
+        return cls(
+            sound_ids=z((t_total, n, s), jnp.int32),
+            az_idx=z((t_total, n), jnp.int32),
+            node=z((t_total, n), jnp.int32),
+            sources=z((t_total, n, s), jnp.int32),
+            target_class=z((t_total, n, 1), jnp.int32),
+            prev_mem=z((t_total, n, f, tt, 1)),
+            masks=jnp.ones((t_total, n, 1)),
+        )
+
+
+class CollectOutput(NamedTuple):
+    env_state: DeviceEnvState
+    hidden: jnp.ndarray
+    masks: jnp.ndarray            # (N, 1) entering the next step
+    prev_mem_masked: jnp.ndarray  # (N, F, T, 1)
+    rollouts_pol: Dict[str, Any]  # ready for make_update_pol
+    sep_slab: Dict[str, Any]      # (T, ...) slices for the sep buffer
+    stats: Dict[str, jnp.ndarray]  # (T, N, ...) logging stacks
+
+
+def _forward(policy, variables, obs, prev_mem_masked):
+    pred_masks = policy.apply(variables, obs, method=Move2HearPolicy.get_binSepMasks)
+    pred_mono = policy.apply(
+        variables, pred_masks, obs["mixed_bin_audio_mag"],
+        method=Move2HearPolicy.convert_bin2mono,
+    )
+    pred_mem = policy.apply(
+        variables, pred_mono, prev_mem_masked,
+        method=Move2HearPolicy.get_monoFromMem,
+    )
+    return pred_masks, pred_mono, pred_mem
+
+
+def _obs_from_sensors(sensors, gt_norm):
+    rendered = render_binaural_mixture(
+        sensors["mono"], sensors["rirs"], gt_mono_mag_norm=gt_norm
+    )
+    obs = {
+        "mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
+        "gt_bin_comps": rendered.gt_bin_comps,
+        "gt_mono_comps": rendered.gt_mono_comps,
+        "target_class": sensors["target_class"],
+    }
+    if "rgb" in sensors:
+        obs["rgb"] = sensors["rgb"]
+    if "depth" in sensors:
+        obs["depth"] = sensors["depth"]
+    return obs
+
+
+def make_collect(
+    policy: Move2HearPolicy,
+    cfg: PPOConfig,
+    dev: DeviceBundle,
+    t_steps: int,
+    max_episode_steps: int,
+    gt_mono_mag_norm: float,
+    sep_rewards: bool,
+    extra_reward_multiplier: float,
+    nav_reward_scale: float,
+    action_codes: Tuple[int, ...],
+    pol_sensors: Tuple[str, ...],
+):
+    """Build the jitted full-rollout collector."""
+    codes = jnp.asarray(action_codes, jnp.int32)
+
+    def q_util(pred_mem, gt_mono_mag):
+        mse = jnp.mean(jnp.square(pred_mem - gt_mono_mag), axis=(1, 2, 3))
+        pw = jnp.mean(jnp.square(gt_mono_mag), axis=(1, 2, 3))
+        return -mse / jnp.maximum(pw, 1e-12)
+
+    def collect(
+        params,
+        batch_stats,
+        env_state: DeviceEnvState,
+        hidden,
+        masks,
+        prev_mem_masked,
+        rng,
+    ) -> CollectOutput:
+        variables = {"params": params}
+        if batch_stats:
+            variables = {"params": params, "batch_stats": batch_stats}
+        hidden0 = hidden  # hidden entering step 0 -> rollout slot 0
+
+        def step_fn(carry, rng_t):
+            env_state, hidden, masks, prev_mem_masked = carry
+            obs_idx = observe(dev.episodes, env_state)
+            sensors = gather_sensors(dev, obs_idx)
+            obs = _obs_from_sensors(sensors, gt_mono_mag_norm)
+
+            pred_masks, pred_mono, pred_mem = _forward(
+                policy, variables, obs, prev_mem_masked
+            )
+            act: ActOutput = policy.apply(
+                variables, obs, hidden, masks, pred_masks, pred_mono, pred_mem,
+                rng_t, False, method=Move2HearPolicy.act,
+            )
+
+            gt_mono_mag = obs["gt_mono_comps"][..., 0::2][..., :1]
+            q = q_util(pred_mem, gt_mono_mag)
+            bin_l2, mono_l2 = stft_l2_distance(
+                obs["mixed_bin_audio_mag"], pred_masks, obs["gt_bin_comps"],
+                pred_mono, obs["gt_mono_comps"],
+            )
+            _, mem_l2 = stft_l2_distance(
+                obs["mixed_bin_audio_mag"], pred_masks, obs["gt_bin_comps"],
+                pred_mem, obs["gt_mono_comps"],
+            )
+
+            # bonus flag BEFORE stepping: completed steps == MAX-2
+            # (ppo_trainer.py:395)
+            at_bonus = env_state.step_count == max_episode_steps - 2
+
+            new_env_state, info = env_step(
+                dev.scene, dev.episodes, env_state,
+                codes[act.action[:, 0]], max_episode_steps,
+            )
+            masks_next = 1.0 - info["done"].astype(jnp.float32)[:, None]
+            prev_mem_next = pred_mem * masks_next[:, :, None, None]
+
+            out = {
+                "obs": {k: obs[k] for k in pol_sensors},
+                "pred_masks": pred_masks,
+                "pred_mono": pred_mono,
+                "pred_mem": pred_mem,
+                "value": act.value,
+                "action": act.action.astype(jnp.int32),
+                "log_prob": act.action_log_probs,
+                "hidden": act.hidden,
+                "masks_in": masks,
+                "masks_next": masks_next,
+                "prev_mem_in": prev_mem_masked,
+                "q": q,
+                "bin_l2": bin_l2,
+                "mono_l2": mono_l2,
+                "mem_l2": mem_l2,
+                "at_bonus": at_bonus,
+                "done": info["done"],
+                "nav_reward": info["nav_reward"],
+                "geo": info["geo"],
+                "ndg": info["ndg"],
+                "probs": act.probs,
+                "sep_idx": {
+                    "sound_ids": obs_idx.sound_ids,
+                    "az_idx": obs_idx.azimuth_idx,
+                    "node": obs_idx.node,
+                    "sources": obs_idx.sources,
+                    "target_class": obs_idx.target_class,
+                },
+            }
+            return (new_env_state, act.hidden, masks_next, prev_mem_next), out
+
+        (env_state, hidden, masks, prev_mem_masked), outs = jax.lax.scan(
+            step_fn,
+            (env_state, hidden, masks, prev_mem_masked),
+            jax.random.split(rng, t_steps),
+        )
+
+        # final forward on obs_T: bootstrap value + q_T for the last reward
+        obs_idx_T = observe(dev.episodes, env_state)
+        sensors_T = gather_sensors(dev, obs_idx_T)
+        obs_T = _obs_from_sensors(sensors_T, gt_mono_mag_norm)
+        pm_T, mono_T, mem_T = _forward(policy, variables, obs_T, prev_mem_masked)
+        value_T = policy.apply(
+            variables, obs_T, hidden, masks, pm_T, mono_T, mem_T,
+            method=Move2HearPolicy.get_value,
+        )
+        gt_T = obs_T["gt_mono_comps"][..., 0::2][..., :1]
+        q_T = q_util(mem_T, gt_T)
+
+        # rewards (one-step-ahead q): q series length T+1
+        q_full = jnp.concatenate([outs["q"], q_T[None]], axis=0)  # (T+1, N)
+        if sep_rewards:
+            not_done = 1.0 - outs["done"].astype(jnp.float32)
+            q_next = q_full[1:]
+            rewards = not_done * (
+                q_next - q_full[:-1]
+                + outs["at_bonus"].astype(jnp.float32)
+                * extra_reward_multiplier
+                * q_next
+            )
+        else:
+            rewards = outs["nav_reward"] * nav_reward_scale
+        rewards = rewards[:, :, None]  # (T, N, 1)
+
+        # assemble the (T+1)-slot views make_update_pol expects
+        masks_full = jnp.concatenate(
+            [outs["masks_in"][:1], outs["masks_next"]], axis=0
+        )
+        value_preds = jnp.concatenate([outs["value"], value_T[None]], axis=0)
+        returns = compute_returns(
+            rewards, value_preds, masks_full, cfg.gamma, cfg.tau, cfg.use_gae
+        )
+        rollouts_pol = {
+            "observations": {
+                k: jnp.concatenate([v, v[-1:]], axis=0)
+                for k, v in outs["obs"].items()
+            },
+            "hidden": jnp.concatenate([hidden0[None], outs["hidden"]], axis=0),
+            "pred_binSepMasks": outs["pred_masks"],
+            "pred_mono": outs["pred_mono"],
+            "prev_pred_monoFromMem": jnp.concatenate(
+                [outs["prev_mem_in"][:1], outs["pred_mem"]], axis=0
+            ),
+            "rewards": rewards,
+            "value_preds": value_preds,
+            "returns": returns,
+            "action_log_probs": outs["log_prob"],
+            "actions": outs["action"],
+            "masks": masks_full,
+        }
+        sep_slab = {
+            **outs["sep_idx"],
+            "prev_mem": outs["prev_mem_in"],
+            "masks": outs["masks_in"],
+        }
+        stats = {
+            k: outs[k]
+            for k in ("q", "bin_l2", "mono_l2", "mem_l2", "done", "geo", "ndg",
+                      "probs")
+        }
+        stats["rewards"] = rewards
+        return CollectOutput(
+            env_state=env_state,
+            hidden=hidden,
+            masks=masks,
+            prev_mem_masked=prev_mem_masked,
+            rollouts_pol=rollouts_pol,
+            sep_slab=sep_slab,
+            stats=stats,
+        )
+
+    return collect
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def write_sep_slab(
+    buf: RolloutSepIdx, slab: Dict[str, jnp.ndarray], offset
+) -> RolloutSepIdx:
+    upd = lambda b, v: jax.lax.dynamic_update_slice_in_dim(
+        b, v.astype(b.dtype), offset, axis=0
+    )
+    return buf.replace(
+        sound_ids=upd(buf.sound_ids, slab["sound_ids"]),
+        az_idx=upd(buf.az_idx, slab["az_idx"]),
+        node=upd(buf.node, slab["node"]),
+        sources=upd(buf.sources, slab["sources"]),
+        target_class=upd(buf.target_class, slab["target_class"]),
+        prev_mem=upd(buf.prev_mem, slab["prev_mem"]),
+        masks=upd(buf.masks, slab["masks"]),
+    )
+
+
+def make_update_sep_device(
+    policy: Move2HearPolicy,
+    cfg: PPOConfig,
+    num_envs: int,
+    gt_mono_mag_norm: float,
+):
+    """Separator refit over the index buffer: re-render from banks inside the
+    loss (ppo.py:179-246 semantics, acoustic-memory-only gradients)."""
+    _, tx_sep = make_optimizers(cfg)
+    sg = jax.lax.stop_gradient
+
+    def minibatch_loss(sep_params, frozen, batch_stats, banks, mb):
+        params = {**frozen, **sep_params}
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        wav_bank, rir_bank = banks
+
+        t, n = mb["masks"].shape[0], mb["masks"].shape[1]
+        flat = lambda v: v.reshape((t * n,) + v.shape[2:])
+
+        sound_ids = flat(mb["sound_ids"])
+        mono = wav_bank[sound_ids]
+        rirs = rir_bank[
+            flat(mb["az_idx"])[:, None], flat(mb["node"])[:, None],
+            flat(mb["sources"]),
+        ]
+        rendered = render_binaural_mixture(
+            mono, rirs, gt_mono_mag_norm=gt_mono_mag_norm
+        )
+        mix = sg(rendered.mixed_bin_audio_mag)
+        obs_flat = {
+            "mixed_bin_audio_mag": mix,
+            "target_class": flat(mb["target_class"]),
+        }
+
+        pred_masks = sg(
+            policy.apply(variables, obs_flat, method=Move2HearPolicy.get_binSepMasks)
+        )
+        pred_mono = sg(
+            policy.apply(
+                variables, pred_masks, mix, method=Move2HearPolicy.convert_bin2mono
+            )
+        )
+        prev_mem = flat(mb["prev_mem"])
+        masks = flat(mb["masks"]).reshape(t * n, 1, 1, 1)
+        pred_mem = policy.apply(
+            variables, pred_mono, prev_mem * masks,
+            method=Move2HearPolicy.get_monoFromMem,
+        )
+
+        gt_mono_mag = sg(rendered.gt_mono_comps[..., 0::2][..., :1])
+        mem_loss = jnp.abs(pred_mem - gt_mono_mag).mean()
+        mono_loss = jnp.abs(pred_mono - gt_mono_mag).mean()
+        gt_bin_mag = sg(rendered.gt_bin_comps[..., 0::2][..., :2])
+        bin_loss = jnp.abs(jnp.expm1(mix) * pred_masks - gt_bin_mag).mean()
+        return mem_loss, (bin_loss, mono_loss, mem_loss)
+
+    def update(state: AgentState, buf: RolloutSepIdx, banks, rng, lr_scale=1.0):
+        lr = cfg.lr_sep * lr_scale
+        sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
+        perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+
+        def scan_body(carry, idx):
+            sep_params, opt_state = carry
+            mb = {
+                "sound_ids": buf.sound_ids[:, idx],
+                "az_idx": buf.az_idx[:, idx],
+                "node": buf.node[:, idx],
+                "sources": buf.sources[:, idx],
+                "target_class": buf.target_class[:, idx],
+                "prev_mem": buf.prev_mem[:, idx],
+                "masks": buf.masks[:, idx],
+            }
+            grads, aux = jax.grad(minibatch_loss, has_aux=True)(
+                sep_params, frozen, state.batch_stats, banks, mb
+            )
+            updates, opt_state = tx_sep.update(grads, opt_state, sep_params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            sep_params = optax.apply_updates(sep_params, updates)
+            return (sep_params, opt_state), jnp.stack(aux)
+
+        (sep_params, opt_state), aux = jax.lax.scan(
+            scan_body, (sep_params, state.opt_state_sep), perms
+        )
+        bin_loss, mono_loss, mem_loss = aux.mean(axis=0)
+        return (
+            state.replace(
+                params={**frozen, **sep_params}, opt_state_sep=opt_state
+            ),
+            (bin_loss, mono_loss, mem_loss),
+        )
+
+    return update

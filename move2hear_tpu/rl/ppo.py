@@ -65,11 +65,16 @@ def _split(params, keys):
 
 
 def make_optimizers(cfg: PPOConfig):
-    tx = lambda lr: optax.chain(
+    """Grad clip + adam direction; the learning rate is applied as an explicit
+    multiply in the update so linear LR decay (utils.linear_decay, wired as
+    the reference's LambdaLR at ppo_trainer.py:711-717) is a traced scalar —
+    no recompile per decay step."""
+    tx = lambda: optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.inject_hyperparams(optax.adam)(learning_rate=lr, eps=cfg.eps),
+        optax.scale_by_adam(eps=cfg.eps),
+        optax.scale(-1.0),
     )
-    return tx(cfg.lr_pol), tx(cfg.lr_sep)
+    return tx(), tx()
 
 
 def create_agent_state(cfg: PPOConfig, variables) -> AgentState:
@@ -124,6 +129,9 @@ def _normalized_advantages(advantages, use_normalized, axis_name):
 def _epoch_perms(rng, ppo_epoch, num_envs, num_mini_batch):
     """(ppo_epoch * num_mini_batch, envs_per_batch) env-index table: each epoch
     permutes envs and splits them into minibatches (rollout_storage.py:195-197)."""
+    assert num_envs >= num_mini_batch, (
+        f"need num_envs ({num_envs}) >= num_mini_batch ({num_mini_batch})"
+    )
     envs_per = num_envs // num_mini_batch
     perms = jax.vmap(lambda k: jax.random.permutation(k, num_envs))(
         jax.random.split(rng, ppo_epoch)
@@ -146,7 +154,7 @@ def make_update_pol(
     """
     tx_pol, _ = make_optimizers(cfg)
 
-    def minibatch_loss(pol_params, frozen, batch_stats, mb):
+    def minibatch_loss(pol_params, frozen, batch_stats, mb, clip_param):
         params = {**frozen, **pol_params}
         variables = {"params": params}
         if batch_stats:
@@ -165,13 +173,13 @@ def make_update_pol(
         ratio = jnp.exp(log_probs - mb["old_log_probs"])
         surr1 = ratio * mb["adv"]
         surr2 = (
-            jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * mb["adv"]
+            jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param) * mb["adv"]
         )
         action_loss = -jnp.minimum(surr1, surr2).mean()
 
         if cfg.use_clipped_value_loss:
             clipped = mb["value_preds"] + jnp.clip(
-                values - mb["value_preds"], -cfg.clip_param, cfg.clip_param
+                values - mb["value_preds"], -clip_param, clip_param
             )
             vl = jnp.square(values - mb["returns"])
             vl_c = jnp.square(clipped - mb["returns"])
@@ -186,7 +194,9 @@ def make_update_pol(
         )
         return total, (value_loss, action_loss, entropy)
 
-    def update(state: AgentState, rollouts, rng):
+    def update(state: AgentState, rollouts, rng, lr_scale=1.0, clip_scale=1.0):
+        clip_param = cfg.clip_param * clip_scale
+        lr = cfg.lr_pol * lr_scale
         adv_all = rollouts["returns"][:-1] - rollouts["value_preds"][:-1]
         adv_all = _normalized_advantages(
             adv_all, cfg.use_normalized_advantage, axis_name
@@ -211,11 +221,12 @@ def make_update_pol(
                 "old_log_probs": rollouts["action_log_probs"][:, idx],
             }
             grads, aux = jax.grad(minibatch_loss, has_aux=True)(
-                pol_params, frozen, state.batch_stats, mb
+                pol_params, frozen, state.batch_stats, mb, clip_param
             )
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = tx_pol.update(grads, opt_state, pol_params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
             pol_params = optax.apply_updates(pol_params, updates)
             return (pol_params, opt_state), jnp.stack(aux)
 
@@ -305,7 +316,8 @@ def make_update_sep(
 
         return monoFromMem_loss, (bin_loss, mono_loss, monoFromMem_loss)
 
-    def update(state: AgentState, rollouts, bank, rng):
+    def update(state: AgentState, rollouts, bank, rng, lr_scale=1.0):
+        lr = cfg.lr_sep * lr_scale
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
         perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
 
@@ -324,6 +336,7 @@ def make_update_sep(
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = tx_sep.update(grads, opt_state, sep_params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
             sep_params = optax.apply_updates(sep_params, updates)
             return (sep_params, opt_state), jnp.stack(aux)
 

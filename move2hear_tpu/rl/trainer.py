@@ -62,6 +62,7 @@ from move2hear_tpu.rl.rollout import (
     insert_sep,
 )
 from move2hear_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from move2hear_tpu.utils.misc import linear_decay
 from move2hear_tpu.utils.registry import registry
 
 logger = logging.getLogger(__name__)
@@ -213,6 +214,13 @@ class PPOTrainer(BaseRLTrainer):
 
     # ------------------------------------------------------------------
     def train(self) -> None:
+        """Dispatch: gymnax-style fully-on-device rollouts (default) or the
+        host-process VectorEnv loop (file-backed scenes / parity runs)."""
+        if self.config.TPU.get("DEVICE_ENV", True):
+            return self._train_device()
+        return self._train_host()
+
+    def _train_host(self) -> None:
         cfg = self.config
         ppo_cfg = self._ppo_config()
         p = cfg.RL.PPO
@@ -576,6 +584,236 @@ class PPOTrainer(BaseRLTrainer):
         self._final_state = state
         self._windows = windows
         envs.close()
+
+    # ------------------------------------------------------------------
+    def _train_device(self) -> None:
+        """The TPU-native training loop: one jitted program per rollout
+        (scan over T env+policy steps), one per policy update, one per
+        separator refit. Host work per rollout: 1 dispatch + 1 stats fetch."""
+        import move2hear_tpu.env.device_env as de
+        from move2hear_tpu.env.sim import Action
+        from move2hear_tpu.rl.device_rollout import (
+            RolloutSepIdx,
+            make_collect,
+            make_update_sep_device,
+            write_sep_slab,
+        )
+
+        cfg = self.config
+        ppo_cfg = self._ppo_config()
+        p = cfg.RL.PPO
+        _, world_rank, world_size = get_distrib_info()
+
+        bundle = self._make_bundle()
+        n_envs = cfg.NUM_PROCESSES
+        t_steps = p.num_steps
+        cycle = p.num_updates_per_cycle
+        max_ep_steps = cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
+        sep_rewards = p.sep_reward_weight == 1.0 and p.nav_reward_weight == 0.0
+        gt_norm = cfg.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM
+        possible_actions = tuple(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS)
+        action_codes = tuple(int(Action[a]) for a in possible_actions)
+
+        mesh = make_mesh(
+            None if cfg.TPU.MESH_SHAPE[0] == -1 else cfg.TPU.MESH_SHAPE[0],
+            cfg.TPU.AXIS_NAME,
+        )
+
+        policy = Move2HearPolicy(
+            num_actions=len(possible_actions),
+            hidden_size=p.hidden_size,
+            extra_rgb=cfg.EXTRA_RGB,
+            extra_depth=cfg.EXTRA_DEPTH,
+            use_ddppo=p.use_ddppo,
+        )
+        self.actor_critic = policy
+
+        dev = de.build_device_bundle(bundle)
+        order = de.make_order_table(
+            n_envs, len(bundle.episodes), cfg.SEED + world_rank
+        )
+        env_state = de.env_reset_all(dev.scene, dev.episodes, jnp.asarray(order))
+
+        with_rgb = dev.rgb_bank is not None and not cfg.EXTRA_RGB or dev.rgb_bank is not None
+        init_obs = {
+            "mixed_bin_audio_mag": jnp.zeros((n_envs, 512, 32, 2)),
+            "gt_bin_comps": jnp.zeros((n_envs, 512, 32, 4 * cfg.NUM_SOUNDS_IN_MIX)),
+            "gt_mono_comps": jnp.zeros((n_envs, 512, 32, 2 * cfg.NUM_SOUNDS_IN_MIX)),
+            "target_class": jnp.zeros((n_envs, 1), jnp.int32),
+        }
+        pol_sensors = ["mixed_bin_audio_mag", "target_class"]
+        if dev.rgb_bank is not None:
+            init_obs["rgb"] = jnp.zeros((n_envs, 128, 128, 3), jnp.uint8)
+            pol_sensors.append("rgb")
+        if dev.depth_bank is not None:
+            init_obs["depth"] = jnp.zeros((n_envs, 128, 128, 1))
+            pol_sensors.append("depth")
+
+        key = jax.random.PRNGKey(cfg.SEED + world_rank)
+        variables = policy.init(
+            key, init_obs, jnp.zeros((n_envs, p.hidden_size)), jnp.ones((n_envs, 1))
+        )
+        state = create_agent_state(ppo_cfg, variables)
+        if p.pretrained_passive_separators_ckpt:
+            ckpt = load_checkpoint(p.pretrained_passive_separators_ckpt)
+            state = state.replace(
+                params=load_pretrained_passive_separators(
+                    state.params, ckpt["params"]
+                ),
+                batch_stats={
+                    **(state.batch_stats or {}),
+                    **(ckpt.get("batch_stats") or {}),
+                },
+            )
+            logger.info("loaded pretrained passive separators")
+        state = replicate(mesh, state)
+
+        collect = jax.jit(
+            make_collect(
+                policy, ppo_cfg, dev, t_steps, max_ep_steps, gt_norm,
+                sep_rewards, p.extra_reward_multiplier,
+                cfg.RL.DISTANCE_REWARD_SCALE
+                if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
+                action_codes, tuple(pol_sensors),
+            )
+        )
+        update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs))
+        update_sep = jax.jit(
+            make_update_sep_device(policy, ppo_cfg, n_envs, gt_norm)
+        )
+        banks = (dev.wav_bank, dev.rir_bank)
+        sep_buf = RolloutSepIdx.create(
+            t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
+        )
+
+        hidden = jnp.zeros((n_envs, p.hidden_size))
+        masks = jnp.ones((n_envs, 1))
+        prev_mem = jnp.zeros((n_envs, 512, 32, 1))
+
+        win = p.reward_window_size
+        windows = {
+            k: deque(maxlen=win)
+            for k in (
+                "reward", "steps", "mono_l2_last", "mono_l2_all",
+                "mem_l2_last", "mem_l2_all", "bin_l2_all", "ndg", "dg",
+            )
+        }
+        cur_ep = {
+            k: np.zeros((n_envs,)) for k in ("reward", "step", "bin", "mono", "mem")
+        }
+
+        t_start = time.time()
+        update_count = 0
+        total_env_steps = 0
+        self._steady_t0 = None
+        self._steady_steps0 = 0
+        self.steady_fps = 0.0
+        num_cycles = max(1, cfg.NUM_UPDATES // cycle)
+        os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+
+        for cycle_idx in range(num_cycles):
+            for sub in range(cycle):
+                key, sub_key = jax.random.split(key)
+                out = collect(
+                    state.params, state.batch_stats, env_state, hidden,
+                    masks, prev_mem, sub_key,
+                )
+                env_state, hidden, masks, prev_mem = (
+                    out.env_state, out.hidden, out.masks, out.prev_mem_masked
+                )
+                sep_buf = write_sep_slab(sep_buf, out.sep_slab, sub * t_steps)
+
+                key, sub_key = jax.random.split(key)
+                lr_scale = (
+                    jnp.float32(linear_decay(update_count, cfg.NUM_UPDATES))
+                    if p.use_linear_lr_decay else 1.0
+                )
+                clip_scale = (
+                    jnp.float32(linear_decay(update_count, cfg.NUM_UPDATES))
+                    if p.use_linear_clip_decay else 1.0
+                )
+                state, (value_loss, action_loss, entropy) = update_pol(
+                    state, out.rollouts_pol, sub_key, lr_scale, clip_scale
+                )
+                update_count += 1
+                total_env_steps += t_steps * n_envs
+
+                # one host fetch per rollout for logging stats
+                st = jax.device_get(out.stats)
+                self._absorb_stats(st, windows, cur_ep, t_steps)
+
+                if update_count % cfg.LOG_INTERVAL == 0 and world_rank == 0:
+                    fps = total_env_steps / max(1e-9, time.time() - t_start)
+                    logger.info(
+                        "update %d | fps %.1f (steady %.1f) | value %.4f "
+                        "action %.4f entropy %.3f | win reward %.4f | "
+                        "win mem-L2(last) %.4f",
+                        update_count, fps, self.steady_fps, float(value_loss),
+                        float(action_loss), float(entropy),
+                        float(np.mean(windows["reward"])) if windows["reward"] else 0.0,
+                        float(np.mean(windows["mem_l2_last"])) if windows["mem_l2_last"] else 0.0,
+                    )
+
+            for sep_i in range(cycle):
+                key, sub_key = jax.random.split(key)
+                sep_lr_scale = (
+                    jnp.float32(
+                        linear_decay(cycle_idx * cycle + sep_i, cfg.NUM_UPDATES)
+                    )
+                    if p.use_linear_lr_decay else 1.0
+                )
+                state, (bin_loss, mono_loss, mem_loss) = update_sep(
+                    state, sep_buf, banks, sub_key, sep_lr_scale
+                )
+            if world_rank == 0 and cfg.LOG_INTERVAL <= update_count:
+                logger.info(
+                    "cycle %d sep losses: bin %.4f mono %.4f mem %.4f",
+                    cycle_idx, float(bin_loss), float(mono_loss), float(mem_loss),
+                )
+
+            if self._steady_t0 is None:
+                jax.block_until_ready(state.params)
+                self._steady_t0 = time.time()
+                self._steady_steps0 = total_env_steps
+            elif total_env_steps > self._steady_steps0:
+                self.steady_fps = (total_env_steps - self._steady_steps0) / (
+                    time.time() - self._steady_t0
+                )
+
+            if (
+                world_rank == 0
+                and cycle_idx % max(1, cfg.CHECKPOINT_INTERVAL // cycle) == 0
+            ):
+                self._save(state, update_count, cycle_idx)
+
+        if world_rank == 0:
+            self._save(state, update_count, num_cycles)
+        self._final_state = state
+        self._windows = windows
+
+    def _absorb_stats(self, st, windows, cur_ep, t_steps):
+        """Fold a rollout's (T, N) stat stacks into the reference's windowed
+        episode statistics (ppo_trainer.py:426-455)."""
+        for t in range(st["q"].shape[0]):
+            done = st["done"][t].astype(bool)
+            cur_ep["reward"] += st["rewards"][t, :, 0]
+            cur_ep["step"] += 1
+            cur_ep["bin"] += st["bin_l2"][t, :, 0]
+            cur_ep["mono"] += st["mono_l2"][t, :, 0]
+            cur_ep["mem"] += st["mem_l2"][t, :, 0]
+            if done.any():
+                steps_i = np.maximum(cur_ep["step"][done], 1)
+                windows["reward"].extend(cur_ep["reward"][done])
+                windows["steps"].extend(steps_i)
+                windows["bin_l2_all"].extend(cur_ep["bin"][done] / steps_i)
+                windows["mono_l2_all"].extend(cur_ep["mono"][done] / steps_i)
+                windows["mem_l2_all"].extend(cur_ep["mem"][done] / steps_i)
+                windows["mono_l2_last"].extend(st["mono_l2"][t, done, 0])
+                windows["mem_l2_last"].extend(st["mem_l2"][t, done, 0])
+                windows["ndg"].extend(st["ndg"][t, done])
+                windows["dg"].extend(st["geo"][t, done])
+                for k in cur_ep:
+                    cur_ep[k][done] = 0.0
 
     # ------------------------------------------------------------------
     def _save(self, state, update_count, ckpt_idx):

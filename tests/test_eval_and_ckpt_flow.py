@@ -1,0 +1,178 @@
+"""End-to-end eval + checkpoint flows on tiny shapes (CPU):
+pretrain -> RL weight handoff, checkpoint evaluation (incl. switch policy),
+ckpt polling, and the notebook-replacement CLIs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from move2hear_tpu.config import get_config
+from move2hear_tpu.env.micro_scene import build_micro_scene
+from move2hear_tpu.eval.evaluator import (
+    evaluate_checkpoint,
+    merge_switch_policy_checkpoint,
+)
+from move2hear_tpu.models import Move2HearPolicy
+from move2hear_tpu.rl.ppo import PPOConfig, create_agent_state
+from move2hear_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from move2hear_tpu.utils.misc import poll_checkpoint_folder
+
+
+HID = 64
+
+
+def _make_ckpt(path, cfg, seed=0):
+    policy = Move2HearPolicy(
+        num_actions=len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS),
+        hidden_size=HID,
+        use_ddppo=True,
+    )
+    obs = {
+        "rgb": jnp.zeros((1, 128, 128, 3)),
+        "depth": jnp.zeros((1, 128, 128, 1)),
+        "mixed_bin_audio_mag": jnp.zeros((1, 512, 32, 2)),
+        "target_class": jnp.zeros((1, 1), jnp.int32),
+    }
+    variables = policy.init(
+        jax.random.PRNGKey(seed), obs, jnp.zeros((1, HID)), jnp.ones((1, 1))
+    )
+    state = create_agent_state(PPOConfig(), variables)
+    save_checkpoint(
+        path,
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "extra_state": {"update_count": 0},
+            "config": cfg.to_dict(),
+        },
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return build_micro_scene(rows=3, cols=3, num_episodes=4, rir_length=400)
+
+
+def test_evaluate_checkpoint_end_to_end(tmp_path, bundle):
+    cfg = get_config(
+        model_dir=str(tmp_path),
+        opts=[
+            "RL.PPO.hidden_size", str(HID),
+            "EVAL_EPISODE_COUNT", "2",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+            "COMPUTE_EVAL_METRICS", "True",
+            "EVAL_METRICS_TO_COMPUTE", "['si_sdr', 'si_sdri']",
+        ],
+    )
+    ckpt = _make_ckpt(str(tmp_path / "data" / "ckpt.0.pth"), cfg)
+    agg = evaluate_checkpoint(cfg, ckpt, 0, bundle=bundle)
+    assert "mono_l2_last" in agg and "mem_l2_last" in agg
+    assert np.isfinite(agg["mono_l2_last"]["mean"])
+    stats_files = [f for f in os.listdir(tmp_path) if f.endswith(".json")]
+    assert stats_files, "no stats dump written"
+    pkl_files = [f for f in os.listdir(tmp_path) if f.endswith(".pkl")]
+    assert pkl_files, "no eval metrics dump written"
+
+    # best-ckpt CLI reads the dumps
+    out = subprocess.run(
+        [sys.executable, "scripts/best_ckpt.py", str(tmp_path),
+         "--metric", "mem_l2_last", "--split", "val"],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr
+    best = json.loads(out.stdout)
+    assert best["best_ckpt_index"] == 0
+
+
+def test_switch_policy_eval(tmp_path, bundle):
+    cfg = get_config(
+        model_dir=str(tmp_path),
+        opts=[
+            "RL.PPO.hidden_size", str(HID),
+            "RL.PPO.switch_policy", "True",
+            "RL.PPO.time_thres_for_pol_switch", "2",
+            "EVAL_EPISODE_COUNT", "1",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "4",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+        ],
+    )
+    nav = _make_ckpt(str(tmp_path / "nav.pth"), cfg, seed=1)
+    qi = _make_ckpt(str(tmp_path / "qi.pth"), cfg, seed=2)
+    merged = merge_switch_policy_checkpoint(
+        nav, qi, str(tmp_path / "switch.pth")
+    )
+    ckpt = load_checkpoint(merged)
+    assert "params_nav" in ckpt and "params_qualImprov" in ckpt
+
+    agg = evaluate_checkpoint(cfg, merged, 0, bundle=bundle)
+    assert np.isfinite(agg["mem_l2_last"]["mean"])
+
+
+def test_pretrain_to_rl_weight_handoff(tmp_path, bundle):
+    """The passive pretrain ckpt loads into the RL policy by subtree name and
+    freezes (ppo_trainer.py:543-577 / ppo.py:59-70)."""
+    from move2hear_tpu.models import Move2HearPassiveWoMemoryPolicy
+    from move2hear_tpu.rl.ppo import load_pretrained_passive_separators
+
+    passive = Move2HearPassiveWoMemoryPolicy()
+    pv = passive.init(
+        jax.random.PRNGKey(7),
+        {
+            "mixed_bin_audio_mag": jnp.zeros((1, 512, 32, 2)),
+            "target_class": jnp.zeros((1, 1), jnp.int32),
+        },
+        train=False,
+    )
+    ckpt_path = str(tmp_path / "best_ckpt_val.pth")
+    save_checkpoint(
+        ckpt_path,
+        {
+            "params": pv["params"],
+            "batch_stats": pv.get("batch_stats", {}),
+            "config": {},
+        },
+    )
+
+    ckpt = load_checkpoint(ckpt_path)
+    cfg = get_config(model_dir=str(tmp_path), opts=["RL.PPO.hidden_size", str(HID)])
+    policy = Move2HearPolicy(num_actions=3, hidden_size=HID, use_ddppo=True)
+    obs = {
+        "rgb": jnp.zeros((1, 128, 128, 3)),
+        "depth": jnp.zeros((1, 128, 128, 1)),
+        "mixed_bin_audio_mag": jnp.zeros((1, 512, 32, 2)),
+        "target_class": jnp.zeros((1, 1), jnp.int32),
+    }
+    variables = policy.init(
+        jax.random.PRNGKey(0), obs, jnp.zeros((1, HID)), jnp.ones((1, 1))
+    )
+    new_params = load_pretrained_passive_separators(
+        variables["params"], ckpt["params"]
+    )
+    for key in ("binSep_enc", "binSep_dec", "bin2mono_enc", "bin2mono_dec"):
+        for a, b in zip(
+            jax.tree.leaves(new_params[key]), jax.tree.leaves(ckpt["params"][key])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_poll_checkpoint_folder(tmp_path):
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    assert poll_checkpoint_folder(str(d), -1) is None
+    import time
+    for i in range(3):
+        (d / f"ckpt.{i}.pth").write_bytes(b"x")
+        time.sleep(0.02)
+    assert poll_checkpoint_folder(str(d), -1).endswith("ckpt.0.pth")
+    assert poll_checkpoint_folder(str(d), 0).endswith("ckpt.1.pth")
+    assert poll_checkpoint_folder(str(d), 2) is None
+    # eval_interval skipping
+    assert poll_checkpoint_folder(str(d), -1, eval_interval=2).endswith("ckpt.1.pth")
