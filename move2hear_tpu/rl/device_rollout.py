@@ -297,6 +297,100 @@ def make_collect(
     return collect
 
 
+def make_train_cycle(
+    policy: Move2HearPolicy,
+    cfg: PPOConfig,
+    dev: DeviceBundle,
+    collect_fn,
+    update_pol_fn,
+    update_sep_fn,
+    cycle: int,
+    t_steps: int,
+    num_updates_total: int,
+    use_lr_decay: bool,
+    use_clip_decay: bool,
+):
+    """Fuse one FULL training cycle — `cycle` x (collect rollout + policy
+    update), then `cycle` x separator refit over the accumulated index buffer
+    (the reference's ppo_trainer.py:730-994 schedule) — into a single jitted
+    program. Host interaction per cycle: one dispatch + one stats fetch.
+
+    On tunneled/remote TPU runtimes each host->device round trip costs
+    hundreds of ms; this turns ~18 round trips per cycle into 1."""
+    banks = (dev.wav_bank, dev.rir_bank)
+
+    def cycle_fn(
+        state: AgentState,
+        env_state,
+        hidden,
+        masks,
+        prev_mem,
+        sep_buf: RolloutSepIdx,
+        rng,
+        update_idx0,
+    ):
+        def decay(idx):
+            return 1.0 - idx.astype(jnp.float32) / num_updates_total
+
+        def body(carry, sub):
+            state, env_state, hidden, masks, prev_mem, sep_buf = carry
+            rng_c = jax.random.fold_in(rng, 2 * sub)
+            rng_u = jax.random.fold_in(rng, 2 * sub + 1)
+            out = collect_fn(
+                state.params, state.batch_stats, env_state, hidden, masks,
+                prev_mem, rng_c,
+            )
+            sep_buf = _write_slab(sep_buf, out.sep_slab, sub * t_steps)
+            idx = update_idx0 + sub
+            lr_scale = decay(idx) if use_lr_decay else 1.0
+            clip_scale = decay(idx) if use_clip_decay else 1.0
+            state, losses = update_pol_fn(
+                state, out.rollouts_pol, rng_u, lr_scale, clip_scale
+            )
+            carry = (
+                state, out.env_state, out.hidden, out.masks,
+                out.prev_mem_masked, sep_buf,
+            )
+            return carry, (jnp.stack(losses), out.stats)
+
+        (state, env_state, hidden, masks, prev_mem, sep_buf), (
+            pol_losses, stats,
+        ) = jax.lax.scan(
+            body,
+            (state, env_state, hidden, masks, prev_mem, sep_buf),
+            jnp.arange(cycle),
+        )
+
+        def sep_body(state, i):
+            rng_s = jax.random.fold_in(rng, 1000 + i)
+            lr_scale = decay(update_idx0 + i) if use_lr_decay else 1.0
+            state, sl = update_sep_fn(state, sep_buf, banks, rng_s, lr_scale)
+            return state, jnp.stack(sl)
+
+        state, sep_losses = jax.lax.scan(sep_body, state, jnp.arange(cycle))
+        return (
+            state, env_state, hidden, masks, prev_mem, sep_buf,
+            pol_losses, sep_losses, stats,
+        )
+
+    return cycle_fn
+
+
+def _write_slab(buf: RolloutSepIdx, slab, offset):
+    upd = lambda b, v: jax.lax.dynamic_update_slice_in_dim(
+        b, v.astype(b.dtype), offset, axis=0
+    )
+    return buf.replace(
+        sound_ids=upd(buf.sound_ids, slab["sound_ids"]),
+        az_idx=upd(buf.az_idx, slab["az_idx"]),
+        node=upd(buf.node, slab["node"]),
+        sources=upd(buf.sources, slab["sources"]),
+        target_class=upd(buf.target_class, slab["target_class"]),
+        prev_mem=upd(buf.prev_mem, slab["prev_mem"]),
+        masks=upd(buf.masks, slab["masks"]),
+    )
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def write_sep_slab(
     buf: RolloutSepIdx, slab: Dict[str, jnp.ndarray], offset

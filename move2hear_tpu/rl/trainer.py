@@ -668,20 +668,28 @@ class PPOTrainer(BaseRLTrainer):
             logger.info("loaded pretrained passive separators")
         state = replicate(mesh, state)
 
-        collect = jax.jit(
-            make_collect(
-                policy, ppo_cfg, dev, t_steps, max_ep_steps, gt_norm,
-                sep_rewards, p.extra_reward_multiplier,
-                cfg.RL.DISTANCE_REWARD_SCALE
-                if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
-                action_codes, tuple(pol_sensors),
-            )
+        from move2hear_tpu.rl.device_rollout import make_train_cycle
+
+        collect_fn = make_collect(
+            policy, ppo_cfg, dev, t_steps, max_ep_steps, gt_norm,
+            sep_rewards, p.extra_reward_multiplier,
+            cfg.RL.DISTANCE_REWARD_SCALE
+            if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
+            action_codes, tuple(pol_sensors),
         )
-        update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs))
-        update_sep = jax.jit(
-            make_update_sep_device(policy, ppo_cfg, n_envs, gt_norm)
+        update_pol_fn = make_update_pol(policy, ppo_cfg, n_envs)
+        update_sep_fn = make_update_sep_device(policy, ppo_cfg, n_envs, gt_norm)
+        # the whole cycle — 6x(collect+pol update) + 6x sep refit — is ONE
+        # jitted program; donation keeps agent state and the sep buffer
+        # in-place on device
+        train_cycle = jax.jit(
+            make_train_cycle(
+                policy, ppo_cfg, dev, collect_fn, update_pol_fn, update_sep_fn,
+                cycle, t_steps, max(1, cfg.NUM_UPDATES),
+                p.use_linear_lr_decay, p.use_linear_clip_decay,
+            ),
+            donate_argnums=(0, 5),
         )
-        banks = (dev.wav_bank, dev.rir_bank)
         sep_buf = RolloutSepIdx.create(
             t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
         )
@@ -711,64 +719,44 @@ class PPOTrainer(BaseRLTrainer):
         num_cycles = max(1, cfg.NUM_UPDATES // cycle)
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
 
+        profile_dir = cfg.get("PROFILE_DIR", "")
         for cycle_idx in range(num_cycles):
-            for sub in range(cycle):
-                key, sub_key = jax.random.split(key)
-                out = collect(
-                    state.params, state.batch_stats, env_state, hidden,
-                    masks, prev_mem, sub_key,
-                )
-                env_state, hidden, masks, prev_mem = (
-                    out.env_state, out.hidden, out.masks, out.prev_mem_masked
-                )
-                sep_buf = write_sep_slab(sep_buf, out.sep_slab, sub * t_steps)
+            if profile_dir and cycle_idx == 2:
+                jax.profiler.start_trace(profile_dir)
+            key, cycle_key = jax.random.split(key)
+            (
+                state, env_state, hidden, masks, prev_mem, sep_buf,
+                pol_losses, sep_losses, stats,
+            ) = train_cycle(
+                state, env_state, hidden, masks, prev_mem, sep_buf,
+                cycle_key, jnp.int32(update_count),
+            )
+            update_count += cycle
+            total_env_steps += cycle * t_steps * n_envs
 
-                key, sub_key = jax.random.split(key)
-                lr_scale = (
-                    jnp.float32(linear_decay(update_count, cfg.NUM_UPDATES))
-                    if p.use_linear_lr_decay else 1.0
-                )
-                clip_scale = (
-                    jnp.float32(linear_decay(update_count, cfg.NUM_UPDATES))
-                    if p.use_linear_clip_decay else 1.0
-                )
-                state, (value_loss, action_loss, entropy) = update_pol(
-                    state, out.rollouts_pol, sub_key, lr_scale, clip_scale
-                )
-                update_count += 1
-                total_env_steps += t_steps * n_envs
+            # one host fetch per cycle for all logging stats
+            st, pol_l, sep_l = jax.device_get((stats, pol_losses, sep_losses))
+            st_flat = {
+                k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()
+            }
+            self._absorb_stats(st_flat, windows, cur_ep, t_steps)
+            value_loss, action_loss, entropy = pol_l[-1]
+            bin_loss, mono_loss, mem_loss = sep_l[-1]
 
-                # one host fetch per rollout for logging stats
-                st = jax.device_get(out.stats)
-                self._absorb_stats(st, windows, cur_ep, t_steps)
-
-                if update_count % cfg.LOG_INTERVAL == 0 and world_rank == 0:
-                    fps = total_env_steps / max(1e-9, time.time() - t_start)
-                    logger.info(
-                        "update %d | fps %.1f (steady %.1f) | value %.4f "
-                        "action %.4f entropy %.3f | win reward %.4f | "
-                        "win mem-L2(last) %.4f",
-                        update_count, fps, self.steady_fps, float(value_loss),
-                        float(action_loss), float(entropy),
-                        float(np.mean(windows["reward"])) if windows["reward"] else 0.0,
-                        float(np.mean(windows["mem_l2_last"])) if windows["mem_l2_last"] else 0.0,
-                    )
-
-            for sep_i in range(cycle):
-                key, sub_key = jax.random.split(key)
-                sep_lr_scale = (
-                    jnp.float32(
-                        linear_decay(cycle_idx * cycle + sep_i, cfg.NUM_UPDATES)
-                    )
-                    if p.use_linear_lr_decay else 1.0
-                )
-                state, (bin_loss, mono_loss, mem_loss) = update_sep(
-                    state, sep_buf, banks, sub_key, sep_lr_scale
-                )
-            if world_rank == 0 and cfg.LOG_INTERVAL <= update_count:
+            if (
+                world_rank == 0
+                and (update_count // cycle) % max(1, cfg.LOG_INTERVAL // cycle) == 0
+            ):
+                fps = total_env_steps / max(1e-9, time.time() - t_start)
                 logger.info(
-                    "cycle %d sep losses: bin %.4f mono %.4f mem %.4f",
-                    cycle_idx, float(bin_loss), float(mono_loss), float(mem_loss),
+                    "update %d | fps %.1f (steady %.1f) | value %.4f "
+                    "action %.4f entropy %.3f | sep bin %.4f mono %.4f "
+                    "mem %.4f | win reward %.4f | win mem-L2(last) %.4f",
+                    update_count, fps, self.steady_fps, float(value_loss),
+                    float(action_loss), float(entropy), float(bin_loss),
+                    float(mono_loss), float(mem_loss),
+                    float(np.mean(windows["reward"])) if windows["reward"] else 0.0,
+                    float(np.mean(windows["mem_l2_last"])) if windows["mem_l2_last"] else 0.0,
                 )
 
             if self._steady_t0 is None:
@@ -780,11 +768,38 @@ class PPOTrainer(BaseRLTrainer):
                     time.time() - self._steady_t0
                 )
 
+            if profile_dir and cycle_idx == 3:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+
             if (
                 world_rank == 0
                 and cycle_idx % max(1, cfg.CHECKPOINT_INTERVAL // cycle) == 0
             ):
                 self._save(state, update_count, cycle_idx)
+
+            # preemption: save interrupted state and bail out cleanly
+            # (ddppo_utils.py:26-110 semantics; the reference defined but
+            # never wired this — here it is live)
+            from move2hear_tpu.parallel.ddppo import (
+                EXIT, requeue_job, save_interrupted_state,
+            )
+
+            if EXIT.is_set():
+                if world_rank == 0:
+                    save_interrupted_state(
+                        {
+                            "params": state.params,
+                            "batch_stats": state.batch_stats,
+                            "opt_state_pol": state.opt_state_pol,
+                            "opt_state_sep": state.opt_state_sep,
+                            "extra_state": {"update_count": update_count},
+                            "config": cfg.to_dict(),
+                        },
+                        cfg.JOB_ID,
+                    )
+                    requeue_job()
+                break
 
         if world_rank == 0:
             self._save(state, update_count, num_cycles)

@@ -65,6 +65,7 @@ def test_evaluate_checkpoint_end_to_end(tmp_path, bundle):
         model_dir=str(tmp_path),
         opts=[
             "RL.PPO.hidden_size", str(HID),
+            "RL.PPO.use_ddppo", "True",  # BN-free AcousticMem, as eval presets
             "EVAL_EPISODE_COUNT", "2",
             "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
             "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
@@ -97,6 +98,7 @@ def test_switch_policy_eval(tmp_path, bundle):
         model_dir=str(tmp_path),
         opts=[
             "RL.PPO.hidden_size", str(HID),
+            "RL.PPO.use_ddppo", "True",
             "RL.PPO.switch_policy", "True",
             "RL.PPO.time_thres_for_pol_switch", "2",
             "EVAL_EPISODE_COUNT", "1",

@@ -1,0 +1,86 @@
+"""End-to-end device-loop trainer test on CPU (tiny shapes): the fused cycle
+program must train, log windowed stats, decay LR/clip, checkpoint with full
+state, and resume-load."""
+
+import os
+
+import numpy as np
+import pytest
+
+from move2hear_tpu.config import get_config
+from move2hear_tpu.env.micro_scene import build_micro_scene
+from move2hear_tpu.rl.trainer import PPOTrainer
+from move2hear_tpu.utils.checkpoint import load_checkpoint
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    model_dir = str(tmp_path_factory.mktemp("rl_run"))
+    cfg = get_config(
+        model_dir=model_dir,
+        opts=[
+            "NUM_PROCESSES", "2",
+            "NUM_UPDATES", "4",
+            "CHECKPOINT_INTERVAL", "2",
+            "LOG_INTERVAL", "2",
+            "RL.PPO.hidden_size", "64",
+            "RL.PPO.num_steps", "2",
+            "RL.PPO.num_updates_per_cycle", "2",
+            "RL.PPO.ppo_epoch", "1",
+            "RL.PPO.num_mini_batch", "1",
+            "RL.PPO.use_ddppo", "True",
+            "RL.PPO.use_linear_lr_decay", "True",
+            "RL.PPO.use_linear_clip_decay", "True",
+            "RL.PPO.sep_reward_weight", "1.0",
+            "RL.PPO.nav_reward_weight", "0.0",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+        ],
+    )
+    bundle = build_micro_scene(
+        rows=3, cols=3, num_episodes=8, near_target=True, rir_length=400
+    )
+    trainer = PPOTrainer(cfg, bundle=bundle)
+    trainer.train()
+    return cfg, trainer
+
+
+def test_device_loop_trains_and_checkpoints(run):
+    cfg, trainer = run
+    ckpts = sorted(os.listdir(cfg.CHECKPOINT_FOLDER))
+    assert any(c.startswith("ckpt.") for c in ckpts)
+    ckpt = load_checkpoint(
+        os.path.join(cfg.CHECKPOINT_FOLDER, ckpts[-1])
+    )
+    # full train state: params + both optimizer states + counter
+    assert "opt_state_pol" in ckpt and "opt_state_sep" in ckpt
+    assert ckpt["extra_state"]["update_count"] == 4
+    assert set(ckpt["params"].keys()) >= {
+        "pol_net", "action_dist", "critic", "binSep_enc", "acoustic_mem"
+    }
+
+
+def test_device_loop_episode_windows(run):
+    _, trainer = run
+    w = trainer._windows
+    # 2 envs x 8 rollout steps with 3-step episodes -> several episode ends
+    assert len(w["reward"]) >= 4
+    assert len(w["mem_l2_last"]) == len(w["reward"])
+    assert np.isfinite(list(w["reward"])).all()
+    assert all(v > 0 for v in w["mem_l2_last"])
+    assert all(s == 3 for s in w["steps"])  # aligned 3-step episodes
+
+
+def test_eval_on_trained_checkpoint(run):
+    cfg, trainer = run
+    from move2hear_tpu.eval.evaluator import evaluate_checkpoint
+
+    ckpts = sorted(os.listdir(cfg.CHECKPOINT_FOLDER))
+    agg = evaluate_checkpoint(
+        cfg,
+        os.path.join(cfg.CHECKPOINT_FOLDER, ckpts[-1]),
+        0,
+        bundle=trainer._make_bundle(),
+        episode_count=1,
+    )
+    assert np.isfinite(agg["mem_l2_last"]["mean"])
