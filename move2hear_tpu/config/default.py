@@ -112,6 +112,7 @@ def default_config() -> Config:
     c.TPU.COMPUTE_DTYPE = "float32"  # or "bfloat16"
     c.TPU.DEVICE_AUDIO_RENDERING = True
     c.TPU.DEVICE_ENV = True          # gymnax-style on-device env + scan rollouts
+    c.TPU.FUSED_CYCLE = False        # fuse entire cycle into one jit (see trainer)
     c.TPU.MAX_RIR_LENGTH = 16000     # static pad length for RIR tensors
 
     c.TASK_CONFIG = default_task_config()

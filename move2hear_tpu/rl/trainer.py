@@ -679,17 +679,26 @@ class PPOTrainer(BaseRLTrainer):
         )
         update_pol_fn = make_update_pol(policy, ppo_cfg, n_envs)
         update_sep_fn = make_update_sep_device(policy, ppo_cfg, n_envs, gt_norm)
-        # the whole cycle — 6x(collect+pol update) + 6x sep refit — is ONE
-        # jitted program; donation keeps agent state and the sep buffer
-        # in-place on device
-        train_cycle = jax.jit(
-            make_train_cycle(
-                policy, ppo_cfg, dev, collect_fn, update_pol_fn, update_sep_fn,
-                cycle, t_steps, max(1, cfg.NUM_UPDATES),
-                p.use_linear_lr_decay, p.use_linear_clip_decay,
-            ),
-            donate_argnums=(0, 5),
-        )
+        fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
+        if fused:
+            # the whole cycle — 6x(collect+pol update) + 6x sep refit — as ONE
+            # jitted program. Measured SLOWER than per-rollout dispatch on the
+            # tunneled v5e (XLA fails to keep the separator buffer update
+            # in-place inside the scan); kept behind TPU.FUSED_CYCLE for
+            # hardware where it wins.
+            train_cycle = jax.jit(
+                make_train_cycle(
+                    policy, ppo_cfg, dev, collect_fn, update_pol_fn,
+                    update_sep_fn, cycle, t_steps, max(1, cfg.NUM_UPDATES),
+                    p.use_linear_lr_decay, p.use_linear_clip_decay,
+                ),
+                donate_argnums=(0, 5),
+            )
+        else:
+            collect = jax.jit(collect_fn)
+            update_pol = jax.jit(update_pol_fn)
+            update_sep = jax.jit(update_sep_fn)
+            banks = (dev.wav_bank, dev.rir_bank)
         sep_buf = RolloutSepIdx.create(
             t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
         )
@@ -719,23 +728,77 @@ class PPOTrainer(BaseRLTrainer):
         num_cycles = max(1, cfg.NUM_UPDATES // cycle)
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
 
+        from move2hear_tpu.rl.device_rollout import write_sep_slab
+
         profile_dir = cfg.get("PROFILE_DIR", "")
         for cycle_idx in range(num_cycles):
             if profile_dir and cycle_idx == 2:
                 jax.profiler.start_trace(profile_dir)
             key, cycle_key = jax.random.split(key)
-            (
-                state, env_state, hidden, masks, prev_mem, sep_buf,
-                pol_losses, sep_losses, stats,
-            ) = train_cycle(
-                state, env_state, hidden, masks, prev_mem, sep_buf,
-                cycle_key, jnp.int32(update_count),
-            )
+            if fused:
+                (
+                    state, env_state, hidden, masks, prev_mem, sep_buf,
+                    pol_losses, sep_losses, stats,
+                ) = train_cycle(
+                    state, env_state, hidden, masks, prev_mem, sep_buf,
+                    cycle_key, jnp.int32(update_count),
+                )
+                st, pol_l, sep_l = jax.device_get(
+                    (stats, pol_losses, sep_losses)
+                )
+            else:
+                stats_list, pol_l = [], []
+                for sub in range(cycle):
+                    rng_c = jax.random.fold_in(cycle_key, 2 * sub)
+                    rng_u = jax.random.fold_in(cycle_key, 2 * sub + 1)
+                    out = collect(
+                        state.params, state.batch_stats, env_state, hidden,
+                        masks, prev_mem, rng_c,
+                    )
+                    env_state, hidden, masks, prev_mem = (
+                        out.env_state, out.hidden, out.masks,
+                        out.prev_mem_masked,
+                    )
+                    sep_buf = write_sep_slab(
+                        sep_buf, out.sep_slab, sub * t_steps
+                    )
+                    idx = update_count + sub
+                    lr_scale = (
+                        jnp.float32(linear_decay(idx, cfg.NUM_UPDATES))
+                        if p.use_linear_lr_decay else 1.0
+                    )
+                    clip_scale = (
+                        jnp.float32(linear_decay(idx, cfg.NUM_UPDATES))
+                        if p.use_linear_clip_decay else 1.0
+                    )
+                    state, losses = update_pol(
+                        state, out.rollouts_pol, rng_u, lr_scale, clip_scale
+                    )
+                    pol_l.append(losses)
+                    stats_list.append(out.stats)
+                for sep_i in range(cycle):
+                    rng_s = jax.random.fold_in(cycle_key, 1000 + sep_i)
+                    sep_lr = (
+                        jnp.float32(
+                            linear_decay(update_count + sep_i, cfg.NUM_UPDATES)
+                        )
+                        if p.use_linear_lr_decay else 1.0
+                    )
+                    state, sep_losses = update_sep(
+                        state, sep_buf, banks, rng_s, sep_lr
+                    )
+                st, pol_l, sep_l = jax.device_get(
+                    (stats_list, pol_l, [sep_losses])
+                )
+                st = {
+                    k: np.stack([d[k] for d in st]) for k in st[0]
+                }
+                pol_l = np.asarray(pol_l)
+                sep_l = np.asarray(sep_l)
+
             update_count += cycle
             total_env_steps += cycle * t_steps * n_envs
 
-            # one host fetch per cycle for all logging stats
-            st, pol_l, sep_l = jax.device_get((stats, pol_losses, sep_losses))
             st_flat = {
                 k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()
             }
