@@ -32,6 +32,8 @@ logger = logging.getLogger(__name__)
 
 
 def _policy_from_config(cfg) -> Move2HearPolicy:
+    import jax.numpy as _jnp
+
     p = cfg.RL.PPO
     return Move2HearPolicy(
         num_actions=len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS),
@@ -39,6 +41,8 @@ def _policy_from_config(cfg) -> Move2HearPolicy:
         extra_rgb=cfg.EXTRA_RGB,
         extra_depth=cfg.EXTRA_DEPTH,
         use_ddppo=p.use_ddppo,
+        dtype=_jnp.bfloat16
+        if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else _jnp.float32,
     )
 
 
@@ -120,8 +124,16 @@ def evaluate_checkpoint(
             near_target=not switch and cfg.RL.PPO.sep_reward_weight == 1.0,
             rir_length=cfg.TPU.MAX_RIR_LENGTH,
         )
+    # eval scene filters (env_utils.py:683-685, dataset.py:134-160)
+    episodes = bundle.episodes
+    if cfg.EPS_SCENES:
+        episodes = episodes.filter_by_scenes(cfg.EPS_SCENES)
+    if cfg.EPS_SCENES_N_IDS:
+        episodes = episodes.filter_by_scenes_n_ids(dict(cfg.EPS_SCENES_N_IDS))
+
     gt_norm = cfg.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM
     env = bundle.make_env_fn(
+        episodes=episodes if len(episodes) else None,
         max_episode_steps=cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS,
         with_distance_reward=False,
         eval_mode=True,

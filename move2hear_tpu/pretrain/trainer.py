@@ -44,8 +44,13 @@ TRAIN_SCENE_COUNT, VAL_SCENE_COUNT = 57, 11
 @registry.register_trainer(name="passive")
 class PassiveTrainer(BaseTrainer):
     def __init__(self, config, sources: Optional[Dict[str, PassiveDataSource]] = None):
+        import jax.numpy as _jnp
+
         self.config = config
-        self.policy = Move2HearPassiveWoMemoryPolicy()
+        self.policy = Move2HearPassiveWoMemoryPolicy(
+            dtype=_jnp.bfloat16
+            if config.TPU.COMPUTE_DTYPE == "bfloat16" else _jnp.float32
+        )
         self._sources = sources or self._default_sources()
         ppo_like = config.Pretrain.Passive
         self._lr = ppo_like.lr

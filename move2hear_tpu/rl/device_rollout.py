@@ -297,6 +297,49 @@ def make_collect(
     return collect
 
 
+def make_collect_and_update(collect_fn, update_pol_fn):
+    """Fuse one rollout collection with its policy update into a single
+    program: the ~1 GB rollout tensors never surface as program outputs, and
+    one dispatch replaces two (each costs a full RTT on tunneled runtimes)."""
+
+    def step(state, env_state, hidden, masks, prev_mem, rng_c, rng_u,
+             lr_scale=1.0, clip_scale=1.0):
+        out = collect_fn(
+            state.params, state.batch_stats, env_state, hidden, masks,
+            prev_mem, rng_c,
+        )
+        state, losses = update_pol_fn(
+            state, out.rollouts_pol, rng_u, lr_scale, clip_scale
+        )
+        return (
+            state, out.env_state, out.hidden, out.masks, out.prev_mem_masked,
+            out.sep_slab, jnp.stack(losses), out.stats,
+        )
+
+    return step
+
+
+def make_update_sep_n(update_sep_fn, n_updates: int):
+    """Run n separator refits as one scanned program. The index buffer is a
+    read-only input (no in-scan aliasing hazard, unlike the full fused
+    cycle)."""
+
+    def run(state, sep_buf, banks, rng, lr_scales):
+        def body(state, inp):
+            i, lr = inp
+            state, sl = update_sep_fn(
+                state, sep_buf, banks, jax.random.fold_in(rng, i), lr
+            )
+            return state, jnp.stack(sl)
+
+        state, losses = jax.lax.scan(
+            body, state, (jnp.arange(n_updates), lr_scales)
+        )
+        return state, losses
+
+    return run
+
+
 def make_train_cycle(
     policy: Move2HearPolicy,
     cfg: PPOConfig,

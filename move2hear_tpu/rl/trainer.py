@@ -76,6 +76,15 @@ class PPOTrainer(BaseRLTrainer):
         self._obs_shapes = None
         self.actor_critic: Optional[Move2HearPolicy] = None
 
+    def _dtype(self):
+        import jax.numpy as _jnp
+
+        return (
+            _jnp.bfloat16
+            if self.config.TPU.COMPUTE_DTYPE == "bfloat16"
+            else _jnp.float32
+        )
+
     # ------------------------------------------------------------------
     def _ppo_config(self) -> PPOConfig:
         p = self.config.RL.PPO
@@ -247,6 +256,7 @@ class PPOTrainer(BaseRLTrainer):
             extra_rgb=cfg.EXTRA_RGB,
             extra_depth=cfg.EXTRA_DEPTH,
             use_ddppo=p.use_ddppo,
+            dtype=self._dtype(),
         )
         self.actor_critic = policy
 
@@ -625,6 +635,7 @@ class PPOTrainer(BaseRLTrainer):
             extra_rgb=cfg.EXTRA_RGB,
             extra_depth=cfg.EXTRA_DEPTH,
             use_ddppo=p.use_ddppo,
+            dtype=self._dtype(),
         )
         self.actor_critic = policy
 
@@ -695,9 +706,17 @@ class PPOTrainer(BaseRLTrainer):
                 donate_argnums=(0, 5),
             )
         else:
-            collect = jax.jit(collect_fn)
-            update_pol = jax.jit(update_pol_fn)
-            update_sep = jax.jit(update_sep_fn)
+            from move2hear_tpu.rl.device_rollout import (
+                make_collect_and_update, make_update_sep_n,
+            )
+
+            collect_update = jax.jit(
+                make_collect_and_update(collect_fn, update_pol_fn),
+                donate_argnums=(0,),
+            )
+            update_sep_n = jax.jit(
+                make_update_sep_n(update_sep_fn, cycle), donate_argnums=(0,)
+            )
             banks = (dev.wav_bank, dev.rir_bank)
         sep_buf = RolloutSepIdx.create(
             t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
@@ -751,17 +770,6 @@ class PPOTrainer(BaseRLTrainer):
                 for sub in range(cycle):
                     rng_c = jax.random.fold_in(cycle_key, 2 * sub)
                     rng_u = jax.random.fold_in(cycle_key, 2 * sub + 1)
-                    out = collect(
-                        state.params, state.batch_stats, env_state, hidden,
-                        masks, prev_mem, rng_c,
-                    )
-                    env_state, hidden, masks, prev_mem = (
-                        out.env_state, out.hidden, out.masks,
-                        out.prev_mem_masked,
-                    )
-                    sep_buf = write_sep_slab(
-                        sep_buf, out.sep_slab, sub * t_steps
-                    )
                     idx = update_count + sub
                     lr_scale = (
                         jnp.float32(linear_decay(idx, cfg.NUM_UPDATES))
@@ -771,24 +779,32 @@ class PPOTrainer(BaseRLTrainer):
                         jnp.float32(linear_decay(idx, cfg.NUM_UPDATES))
                         if p.use_linear_clip_decay else 1.0
                     )
-                    state, losses = update_pol(
-                        state, out.rollouts_pol, rng_u, lr_scale, clip_scale
+                    (
+                        state, env_state, hidden, masks, prev_mem, sep_slab,
+                        losses, stats,
+                    ) = collect_update(
+                        state, env_state, hidden, masks, prev_mem,
+                        rng_c, rng_u, lr_scale, clip_scale,
                     )
+                    sep_buf = write_sep_slab(sep_buf, sep_slab, sub * t_steps)
                     pol_l.append(losses)
-                    stats_list.append(out.stats)
-                for sep_i in range(cycle):
-                    rng_s = jax.random.fold_in(cycle_key, 1000 + sep_i)
-                    sep_lr = (
-                        jnp.float32(
-                            linear_decay(update_count + sep_i, cfg.NUM_UPDATES)
-                        )
-                        if p.use_linear_lr_decay else 1.0
+                    stats_list.append(stats)
+                sep_lrs = (
+                    jnp.asarray(
+                        [
+                            linear_decay(update_count + i, cfg.NUM_UPDATES)
+                            for i in range(cycle)
+                        ],
+                        jnp.float32,
                     )
-                    state, sep_losses = update_sep(
-                        state, sep_buf, banks, rng_s, sep_lr
-                    )
+                    if p.use_linear_lr_decay
+                    else jnp.ones((cycle,), jnp.float32)
+                )
+                state, sep_losses = update_sep_n(
+                    state, sep_buf, banks, cycle_key, sep_lrs
+                )
                 st, pol_l, sep_l = jax.device_get(
-                    (stats_list, pol_l, [sep_losses])
+                    (stats_list, pol_l, sep_losses)
                 )
                 st = {
                     k: np.stack([d[k] for d in st]) for k in st[0]

@@ -1,0 +1,144 @@
+"""Data-parallel correctness and DDPPO control-plane tests on the virtual
+8-device CPU mesh."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from move2hear_tpu.parallel.ddppo import (
+    FileNumDoneStore,
+    LocalNumDoneStore,
+    RolloutSyncState,
+    TCPNumDoneStore,
+    get_distrib_info,
+)
+from move2hear_tpu.parallel.mesh import make_mesh, replicate, shard_rollouts
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert len(mesh.devices.flat) == 8
+
+
+def test_sharded_update_matches_single_device():
+    """The DDPPO claim: running the jitted policy update with the env axis
+    sharded over 8 devices must produce the same parameters as single-device
+    (XLA's inserted collectives == DDP allreduce semantics)."""
+    from move2hear_tpu.models import Move2HearPolicy
+    from move2hear_tpu.rl import PPOConfig, compute_returns, create_agent_state
+    from move2hear_tpu.rl.ppo import make_update_pol
+
+    n, t, hid = 8, 2, 32
+    policy = Move2HearPolicy(num_actions=3, hidden_size=hid, use_ddppo=True)
+    rng = np.random.default_rng(0)
+    obs = {
+        "rgb": jnp.asarray(rng.uniform(0, 255, (n, 128, 128, 3)), jnp.float32),
+        "depth": jnp.asarray(rng.uniform(0, 1, (n, 128, 128, 1)), jnp.float32),
+        "mixed_bin_audio_mag": jnp.asarray(
+            np.abs(rng.standard_normal((n, 512, 32, 2))), jnp.float32
+        ),
+        "target_class": jnp.zeros((n, 1), jnp.int32),
+    }
+    variables = policy.init(
+        jax.random.PRNGKey(0), obs, jnp.zeros((n, hid)), jnp.ones((n, 1))
+    )
+    cfg = PPOConfig(ppo_epoch=1, num_mini_batch=1)
+    state = create_agent_state(cfg, variables)
+
+    rewards = jnp.asarray(rng.standard_normal((t, n, 1)), jnp.float32)
+    value_preds = jnp.asarray(rng.standard_normal((t + 1, n, 1)), jnp.float32)
+    masks = jnp.ones((t + 1, n, 1))
+    returns = compute_returns(rewards, value_preds, masks, 0.99, 0.95, True)
+    rollouts = {
+        "observations": {
+            k: jnp.broadcast_to(v[None], (t + 1,) + v.shape) for k, v in obs.items()
+        },
+        "hidden": jnp.zeros((t + 1, n, hid)),
+        "pred_binSepMasks": jnp.asarray(
+            rng.uniform(0, 1, (t, n, 512, 32, 2)), jnp.float32
+        ),
+        "pred_mono": jnp.asarray(rng.uniform(0, 1, (t, n, 512, 32, 1)), jnp.float32),
+        "prev_pred_monoFromMem": jnp.asarray(
+            rng.uniform(0, 1, (t + 1, n, 512, 32, 1)), jnp.float32
+        ),
+        "rewards": rewards,
+        "value_preds": value_preds,
+        "returns": returns,
+        "action_log_probs": jnp.full((t, n, 1), -1.1),
+        "actions": jnp.zeros((t, n, 1), jnp.int32),
+        "masks": masks,
+    }
+
+    update = jax.jit(make_update_pol(policy, cfg, n))
+    key = jax.random.PRNGKey(3)
+
+    # single device
+    s1, (v1, a1, e1) = update(state, rollouts, key)
+
+    # sharded over the 8-device mesh
+    mesh = make_mesh()
+    state_r = replicate(mesh, state)
+    rollouts_s = shard_rollouts(mesh, rollouts)
+    s2, (v2, a2, e2) = update(state_r, rollouts_s, key)
+
+    assert float(v1) == pytest.approx(float(v2), rel=1e-4)
+    assert float(a1) == pytest.approx(float(a2), rel=1e-4, abs=1e-6)
+    for p1, p2 in zip(
+        jax.tree.leaves(s1.params["critic"]), jax.tree.leaves(s2.params["critic"])
+    ):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_num_done_stores(tmp_path):
+    for store in (LocalNumDoneStore(), FileNumDoneStore(str(tmp_path / "nd"))):
+        assert store.get() == 0
+        store.add(1)
+        store.add(2)
+        assert store.get() == 3
+        store.reset()
+        assert store.get() == 0
+
+
+def test_tcp_num_done_store():
+    master = TCPNumDoneStore("127.0.0.1", 18765, is_master=True)
+    try:
+        client = TCPNumDoneStore("127.0.0.1", 18765, is_master=False)
+        assert client.get() == 0
+        client.add(2)
+        master_side = master.get()
+        assert master_side == 2
+        client.reset()
+        assert client.get() == 0
+    finally:
+        master.close()
+
+
+def test_rollout_sync_semantics():
+    sync = RolloutSyncState(
+        sync_frac=0.6, short_rollout_threshold=0.25, num_steps=20, world_size=4
+    )
+    # before enough ranks are done: no early stop
+    assert not sync.should_stop_early(10)
+    for _ in range(3):
+        sync.mark_done()
+    # 3 > 0.6*4 -> stop, but only past the short-rollout threshold (5 steps)
+    assert sync.should_stop_early(6)
+    assert not sync.should_stop_early(4)
+    sync.new_rollout()
+    assert not sync.should_stop_early(10)
+    # world_size 1: never stops early (the reference's single-proc fallback)
+    solo = RolloutSyncState(0.6, 0.25, 20, 1)
+    assert not solo.should_stop_early(19)
+
+
+def test_get_distrib_info_fallback(monkeypatch):
+    monkeypatch.delenv("RANK", raising=False)
+    monkeypatch.delenv("SLURM_PROCID", raising=False)
+    assert get_distrib_info() == (0, 0, 1)
+    monkeypatch.setenv("RANK", "3")
+    monkeypatch.setenv("WORLD_SIZE", "8")
+    monkeypatch.setenv("LOCAL_RANK", "1")
+    assert get_distrib_info() == (1, 3, 8)
