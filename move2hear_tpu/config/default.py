@@ -113,6 +113,7 @@ def default_config() -> Config:
     c.TPU.DEVICE_AUDIO_RENDERING = True
     c.TPU.DEVICE_ENV = True          # gymnax-style on-device env + scan rollouts
     c.TPU.FUSED_CYCLE = False        # fuse entire cycle into one jit (see trainer)
+    c.TPU.PAIRWISE_FUSION = False    # fuse collect+update pairs (see trainer)
     c.TPU.MAX_RIR_LENGTH = 16000     # static pad length for RIR tensors
 
     c.TASK_CONFIG = default_task_config()

@@ -706,17 +706,26 @@ class PPOTrainer(BaseRLTrainer):
                 donate_argnums=(0, 5),
             )
         else:
-            from move2hear_tpu.rl.device_rollout import (
-                make_collect_and_update, make_update_sep_n,
-            )
+            pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
+            if pairwise:
+                from move2hear_tpu.rl.device_rollout import (
+                    make_collect_and_update, make_update_sep_n,
+                )
 
-            collect_update = jax.jit(
-                make_collect_and_update(collect_fn, update_pol_fn),
-                donate_argnums=(0,),
-            )
-            update_sep_n = jax.jit(
-                make_update_sep_n(update_sep_fn, cycle), donate_argnums=(0,)
-            )
+                collect_update = jax.jit(
+                    make_collect_and_update(collect_fn, update_pol_fn),
+                    donate_argnums=(0,),
+                )
+                update_sep_n = jax.jit(
+                    make_update_sep_n(update_sep_fn, cycle), donate_argnums=(0,)
+                )
+            else:
+                # separate programs measured fastest on the tunneled v5e:
+                # dispatches pipeline asynchronously, only the per-cycle stats
+                # fetch synchronizes, and smaller programs schedule better
+                collect = jax.jit(collect_fn)
+                update_pol = jax.jit(update_pol_fn)
+                update_sep = jax.jit(update_sep_fn)
             banks = (dev.wav_bank, dev.rir_bank)
         sep_buf = RolloutSepIdx.create(
             t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
@@ -779,30 +788,63 @@ class PPOTrainer(BaseRLTrainer):
                         jnp.float32(linear_decay(idx, cfg.NUM_UPDATES))
                         if p.use_linear_clip_decay else 1.0
                     )
-                    (
-                        state, env_state, hidden, masks, prev_mem, sep_slab,
-                        losses, stats,
-                    ) = collect_update(
-                        state, env_state, hidden, masks, prev_mem,
-                        rng_c, rng_u, lr_scale, clip_scale,
-                    )
+                    if pairwise:
+                        (
+                            state, env_state, hidden, masks, prev_mem,
+                            sep_slab, losses, stats,
+                        ) = collect_update(
+                            state, env_state, hidden, masks, prev_mem,
+                            rng_c, rng_u, lr_scale, clip_scale,
+                        )
+                    else:
+                        out = collect(
+                            state.params, state.batch_stats, env_state,
+                            hidden, masks, prev_mem, rng_c,
+                        )
+                        env_state, hidden, masks, prev_mem = (
+                            out.env_state, out.hidden, out.masks,
+                            out.prev_mem_masked,
+                        )
+                        sep_slab, stats = out.sep_slab, out.stats
+                        state, losses_t = update_pol(
+                            state, out.rollouts_pol, rng_u, lr_scale,
+                            clip_scale,
+                        )
+                        losses = jnp.stack(losses_t)
                     sep_buf = write_sep_slab(sep_buf, sep_slab, sub * t_steps)
                     pol_l.append(losses)
                     stats_list.append(stats)
-                sep_lrs = (
-                    jnp.asarray(
-                        [
-                            linear_decay(update_count + i, cfg.NUM_UPDATES)
-                            for i in range(cycle)
-                        ],
-                        jnp.float32,
+                if pairwise:
+                    sep_lrs = (
+                        jnp.asarray(
+                            [
+                                linear_decay(update_count + i, cfg.NUM_UPDATES)
+                                for i in range(cycle)
+                            ],
+                            jnp.float32,
+                        )
+                        if p.use_linear_lr_decay
+                        else jnp.ones((cycle,), jnp.float32)
                     )
-                    if p.use_linear_lr_decay
-                    else jnp.ones((cycle,), jnp.float32)
-                )
-                state, sep_losses = update_sep_n(
-                    state, sep_buf, banks, cycle_key, sep_lrs
-                )
+                    state, sep_losses = update_sep_n(
+                        state, sep_buf, banks, cycle_key, sep_lrs
+                    )
+                else:
+                    for sep_i in range(cycle):
+                        sep_lr = (
+                            jnp.float32(
+                                linear_decay(
+                                    update_count + sep_i, cfg.NUM_UPDATES
+                                )
+                            )
+                            if p.use_linear_lr_decay else 1.0
+                        )
+                        state, sep_losses = update_sep(
+                            state, sep_buf, banks,
+                            jax.random.fold_in(cycle_key, 1000 + sep_i),
+                            sep_lr,
+                        )
+                    sep_losses = jnp.stack(sep_losses)[None]
                 st, pol_l, sep_l = jax.device_get(
                     (stats_list, pol_l, sep_losses)
                 )
