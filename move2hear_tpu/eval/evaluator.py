@@ -162,10 +162,18 @@ def evaluate_checkpoint(
     masks = jnp.zeros((1, 1))
     prev_mem_masked = jnp.zeros((1, 512, 32, 1))
 
+    video_option = list(cfg.get("VIDEO_OPTION", []) or [])
+    tb_writer = None
+    if "tensorboard" in video_option:
+        from move2hear_tpu.utils.tb import TensorboardWriter
+
+        tb_writer = TensorboardWriter(cfg.TENSORBOARD_DIR)
+
     for ep_idx in range(n_episodes):
         episode = env.current_episode
         ep_steps = 0
         ep_metrics = {"mono_l2": [], "mem_l2": [], "bin_l2": [], "quality": []}
+        frames = [] if video_option else None
         done = False
         while not done:
             use_nav = switch and ep_steps < time_thres
@@ -203,6 +211,9 @@ def evaluate_checkpoint(
                     )
                 )
 
+            if frames is not None and "rgb" in obs_host:
+                frames.append(obs_host["rgb"][0].astype(np.uint8))
+
             action = int(np.asarray(act.action)[0, 0])
             next_obs, reward, done, info = env.step(action)
             ep_steps += 1
@@ -219,6 +230,22 @@ def evaluate_checkpoint(
             **info,
         }
         eval_metrics_dump[(episode.scene_id, episode.episode_id)] = ep_metrics
+        if frames:
+            if tb_writer is not None:
+                tb_writer.add_video_from_np_images(
+                    f"episode_{episode.scene_id}_{episode.episode_id}",
+                    checkpoint_index, frames, fps=4,
+                )
+            if "disk" in video_option:
+                vid_dir = os.path.join(cfg.MODEL_DIR or ".", "videos")
+                os.makedirs(vid_dir, exist_ok=True)
+                np.save(
+                    os.path.join(
+                        vid_dir,
+                        f"ep_{episode.scene_id}_{episode.episode_id}.npy",
+                    ),
+                    np.stack(frames),
+                )
         hidden_nav = jnp.zeros((1, hidden_size))
         hidden_qi = jnp.zeros((1, hidden_size))
 

@@ -178,3 +178,23 @@ def test_poll_checkpoint_folder(tmp_path):
     assert poll_checkpoint_folder(str(d), 2) is None
     # eval_interval skipping
     assert poll_checkpoint_folder(str(d), -1, eval_interval=2).endswith("ckpt.1.pth")
+
+
+def test_eval_video_option_disk(tmp_path, bundle):
+    cfg = get_config(
+        model_dir=str(tmp_path),
+        opts=[
+            "RL.PPO.hidden_size", str(HID),
+            "RL.PPO.use_ddppo", "True",
+            "EVAL_EPISODE_COUNT", "1",
+            "VIDEO_OPTION", "['disk']",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "2",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+        ],
+    )
+    ckpt = _make_ckpt(str(tmp_path / "data" / "ckpt.0.pth"), cfg)
+    evaluate_checkpoint(cfg, ckpt, 0, bundle=bundle)
+    vids = os.listdir(tmp_path / "videos")
+    assert vids and vids[0].endswith(".npy")
+    frames = np.load(tmp_path / "videos" / vids[0])
+    assert frames.shape[1:] == (128, 128, 3) and frames.dtype == np.uint8
