@@ -28,6 +28,7 @@ def default_config() -> Config:
     c.MODEL_DIR = ""
     c.TENSORBOARD_DIR = "tb"
     c.VIDEO_OPTION = []
+    c.RESUME_CKPT = ""
     c.EVAL_CKPT_PATH_DIR = "data/checkpoints"
     c.NUM_PROCESSES = 16
     c.SENSORS = ["RGB_SENSOR", "DEPTH_SENSOR"]

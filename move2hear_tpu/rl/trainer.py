@@ -665,7 +665,40 @@ class PPOTrainer(BaseRLTrainer):
             key, init_obs, jnp.zeros((n_envs, p.hidden_size)), jnp.ones((n_envs, 1))
         )
         state = create_agent_state(ppo_cfg, variables)
-        if p.pretrained_passive_separators_ckpt:
+        resume_count = 0
+        resume_path = cfg.get("RESUME_CKPT", "")
+        if not resume_path:
+            # auto-resume from an interrupted state for this JOB_ID
+            # (ppo_trainer.py:52-55 semantics, now actually wired)
+            from move2hear_tpu.parallel.ddppo import interrupted_state_path
+
+            cand = interrupted_state_path(cfg.JOB_ID)
+            if os.path.exists(cand):
+                resume_path = cand
+        if resume_path and os.path.exists(resume_path):
+            ckpt = load_checkpoint(
+                resume_path,
+                targets={
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state_pol": state.opt_state_pol,
+                    "opt_state_sep": state.opt_state_sep,
+                },
+            )
+            state = state.replace(
+                params=ckpt["params"],
+                batch_stats=ckpt.get("batch_stats") or {},
+                opt_state_pol=ckpt["opt_state_pol"],
+                opt_state_sep=ckpt["opt_state_sep"],
+            )
+            resume_count = int(
+                (ckpt.get("extra_state") or {}).get("update_count", 0)
+            )
+            logger.info(
+                "resumed full train state from %s at update %d",
+                resume_path, resume_count,
+            )
+        elif p.pretrained_passive_separators_ckpt:
             ckpt = load_checkpoint(p.pretrained_passive_separators_ckpt)
             state = state.replace(
                 params=load_pretrained_passive_separators(
@@ -748,12 +781,12 @@ class PPOTrainer(BaseRLTrainer):
         }
 
         t_start = time.time()
-        update_count = 0
+        update_count = resume_count
         total_env_steps = 0
         self._steady_t0 = None
         self._steady_steps0 = 0
         self.steady_fps = 0.0
-        num_cycles = max(1, cfg.NUM_UPDATES // cycle)
+        num_cycles = max(1, (cfg.NUM_UPDATES - resume_count) // cycle)
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
 
         from move2hear_tpu.rl.device_rollout import write_sep_slab
@@ -974,3 +1007,4 @@ class PPOTrainer(BaseRLTrainer):
         return evaluate_checkpoint(
             self.config, checkpoint_path, checkpoint_index, bundle=self._bundle
         )
+
