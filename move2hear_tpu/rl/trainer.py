@@ -756,9 +756,20 @@ class PPOTrainer(BaseRLTrainer):
                 # separate programs measured fastest on the tunneled v5e:
                 # dispatches pipeline asynchronously, only the per-cycle stats
                 # fetch synchronizes, and smaller programs schedule better
+                from move2hear_tpu.rl.device_rollout import (
+                    make_update_sep_cached,
+                )
+
                 collect = jax.jit(collect_fn)
                 update_pol = jax.jit(update_pol_fn)
-                update_sep = jax.jit(update_sep_fn)
+                # all cycle sep refits in one program with the frozen
+                # separator forward hoisted (see make_update_sep_cached)
+                update_sep_cached = jax.jit(
+                    make_update_sep_cached(
+                        policy, ppo_cfg, n_envs, gt_norm, cycle
+                    ),
+                    donate_argnums=(0,),
+                )
             banks = (dev.wav_bank, dev.rir_bank)
         sep_buf = RolloutSepIdx.create(
             t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
@@ -863,21 +874,21 @@ class PPOTrainer(BaseRLTrainer):
                         state, sep_buf, banks, cycle_key, sep_lrs
                     )
                 else:
-                    for sep_i in range(cycle):
-                        sep_lr = (
-                            jnp.float32(
-                                linear_decay(
-                                    update_count + sep_i, cfg.NUM_UPDATES
-                                )
-                            )
-                            if p.use_linear_lr_decay else 1.0
+                    sep_lrs = (
+                        jnp.asarray(
+                            [
+                                linear_decay(update_count + i, cfg.NUM_UPDATES)
+                                for i in range(cycle)
+                            ],
+                            jnp.float32,
                         )
-                        state, sep_losses = update_sep(
-                            state, sep_buf, banks,
-                            jax.random.fold_in(cycle_key, 1000 + sep_i),
-                            sep_lr,
-                        )
-                    sep_losses = jnp.stack(sep_losses)[None]
+                        if p.use_linear_lr_decay
+                        else jnp.ones((cycle,), jnp.float32)
+                    )
+                    state, sep_losses = update_sep_cached(
+                        state, sep_buf, banks,
+                        jax.random.fold_in(cycle_key, 999), sep_lrs,
+                    )
                 st, pol_l, sep_l = jax.device_get(
                     (stats_list, pol_l, sep_losses)
                 )

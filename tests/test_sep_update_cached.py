@@ -1,0 +1,72 @@
+"""The hoisted/cached separator refit must be numerically identical to the
+naive per-epoch recompute (frozen separators make the cache exact)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from move2hear_tpu.env import build_micro_scene
+from move2hear_tpu.env.device_env import build_device_bundle
+from move2hear_tpu.models import Move2HearPolicy
+from move2hear_tpu.rl.ppo import PPOConfig, create_agent_state
+from move2hear_tpu.rl.device_rollout import (
+    RolloutSepIdx,
+    make_update_sep_cached,
+    make_update_sep_device,
+)
+
+
+def test_cached_sep_update_matches_uncached():
+    n, t = 2, 3
+    bundle = build_micro_scene(rows=3, cols=3, num_episodes=4, rir_length=300)
+    dev = build_device_bundle(bundle, with_frames=False)
+    policy = Move2HearPolicy(num_actions=3, hidden_size=32, use_ddppo=True)
+    rng = np.random.default_rng(0)
+    obs = {
+        "rgb": jnp.zeros((n, 128, 128, 3)),
+        "depth": jnp.zeros((n, 128, 128, 1)),
+        "mixed_bin_audio_mag": jnp.zeros((n, 512, 32, 2)),
+        "target_class": jnp.zeros((n, 1), jnp.int32),
+    }
+    variables = policy.init(
+        jax.random.PRNGKey(0), obs, jnp.zeros((n, 32)), jnp.ones((n, 1))
+    )
+    cfg = PPOConfig(ppo_epoch=2, num_mini_batch=1, lr_sep=1e-3)
+    state = create_agent_state(cfg, variables)
+
+    v = bundle.scene.num_nodes
+    buf = RolloutSepIdx(
+        sound_ids=jnp.asarray(rng.integers(0, 4, (t, n, 2)), jnp.int32),
+        az_idx=jnp.asarray(rng.integers(0, 4, (t, n)), jnp.int32),
+        node=jnp.asarray(rng.integers(0, v, (t, n)), jnp.int32),
+        sources=jnp.asarray(rng.integers(0, v, (t, n, 2)), jnp.int32),
+        target_class=jnp.asarray(rng.integers(0, 3, (t, n, 1)), jnp.int32),
+        prev_mem=jnp.asarray(rng.uniform(0, 1, (t, n, 512, 32, 1)), jnp.float32),
+        masks=jnp.ones((t, n, 1)),
+    )
+    banks = (dev.wav_bank, dev.rir_bank)
+    key = jax.random.PRNGKey(7)
+
+    upd_naive = make_update_sep_device(policy, cfg, n, 1.2)
+    s1, (bin1, mono1, mem1) = upd_naive(state, buf, banks, key, 1.0)
+
+    upd_cached = make_update_sep_cached(policy, cfg, n, 1.2, n_updates=1)
+    s2, per_update = upd_cached(state, buf, banks, key, jnp.ones((1,)))
+    bin2, mono2, mem2 = per_update[0]
+
+    assert float(bin1) == pytest.approx(float(bin2), rel=1e-5)
+    assert float(mono1) == pytest.approx(float(mono2), rel=1e-5)
+    assert float(mem1) == pytest.approx(float(mem2), rel=1e-4)
+    for a, b in zip(
+        jax.tree.leaves(s1.params["acoustic_mem"]),
+        jax.tree.leaves(s2.params["acoustic_mem"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # frozen islands untouched by both
+    for keyname in ("binSep_enc", "pol_net"):
+        for a, b in zip(
+            jax.tree.leaves(state.params[keyname]),
+            jax.tree.leaves(s2.params[keyname]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
