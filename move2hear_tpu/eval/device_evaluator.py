@@ -1,0 +1,411 @@
+"""Batched on-device checkpoint evaluation.
+
+The reference evaluates with a single env process, one host/device bounce per
+step (ppo_trainer.py:1051,1203-1431) — 1000 episodes x 100 steps of
+round-trips. Here N eval envs run in parallel on device and a whole episode
+horizon is one `lax.scan`; per-episode metrics (STFT-L2 last/all-step, and
+the SI-SDR family on ISTFT'd waveforms) are computed on device and fetched
+once per batch of episodes.
+
+Policy switching (far-target eval): both parameter sets are resident; each
+step selects nav vs quality-improvement weights with `lax.cond` on the step
+index (every env switches at the same threshold, matching
+ppo_trainer.py:1230-1339), with separate GRU hidden states.
+
+SI-SDR/SD-SDR/SNR/SRR + improvement variants are computed on device from
+GT-phase reconstructions (eval_metrics.py:232-303). SI-SIR/SI-SAR need a
+2-source least-squares solve; with a single reference source they reduce to
+projections and are included. Mean-centering and mixture downmix follow
+eval_metrics.py:172-199.
+"""
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import move2hear_tpu.env.device_env as de
+from move2hear_tpu.eval.metrics import stft_l2_distance
+from move2hear_tpu.models.policy import Move2HearPolicy
+from move2hear_tpu.ops.frontend import render_binaural_mixture
+from move2hear_tpu.ops.stft import istft_mag_phase
+
+
+def _si_metrics(reference, estimate, mixture):
+    """Scale-invariant metric family for one env (vectors of length L),
+    single reference source (eval_metrics.py:12-122)."""
+    eps = 1e-13
+    ref = reference - reference.mean()
+    est = estimate - estimate.mean()
+    mix = mixture - mixture.mean()
+
+    def one(est_v):
+        src_energy = jnp.sum(ref**2) + eps
+        alpha = jnp.dot(ref, est_v) / src_energy
+        snr = 10 * jnp.log10(
+            jnp.sum(ref**2) / (jnp.sum((est_v - ref) ** 2) + eps) + eps
+        )
+        e_true = alpha * ref
+        e_res = est_v - e_true
+        si_sdr = 10 * jnp.log10(
+            jnp.sum(e_true**2) / (jnp.sum(e_res**2) + eps) + eps
+        )
+        srr = -10 * jnp.log10((1 - 1 / (alpha + eps)) ** 2 + eps)
+        sd_sdr = snr + 10 * jnp.log10(alpha**2 + eps)
+        # single-source SIR/SAR: interference = projection of the residual
+        # onto the reference
+        beta = jnp.dot(ref, e_res) / src_energy
+        e_interf = beta * ref
+        e_artif = e_res - e_interf
+        si_sir = 10 * jnp.log10(
+            jnp.sum(e_true**2) / (jnp.sum(e_interf**2) + eps) + eps
+        )
+        si_sar = 10 * jnp.log10(
+            jnp.sum(e_true**2) / (jnp.sum(e_artif**2) + eps) + eps
+        )
+        return jnp.stack([si_sdr, si_sir, si_sar, sd_sdr, snr, srr])
+
+    est_m = one(est)
+    mix_m = one(mix)
+    # [si_sdr, si_sir, si_sar, sd_sdr, snr, srr,
+    #  si_sdri, sd_sdri, snri, si_siri, si_sari]
+    return jnp.concatenate(
+        [
+            est_m,
+            jnp.stack(
+                [
+                    est_m[0] - mix_m[0], est_m[3] - mix_m[3],
+                    est_m[4] - mix_m[4], est_m[1] - mix_m[1],
+                    est_m[2] - mix_m[2],
+                ]
+            ),
+        ]
+    )
+
+
+SI_METRIC_NAMES = [
+    "si_sdr", "si_sir", "si_sar", "sd_sdr", "snr", "srr",
+    "si_sdri", "sd_sdri", "snri", "si_siri", "si_sari",
+]
+
+
+def make_device_eval(
+    policy: Move2HearPolicy,
+    dev: de.DeviceBundle,
+    max_episode_steps: int,
+    gt_mono_mag_norm: float,
+    action_codes: Tuple[int, ...],
+    deterministic: bool,
+    switch_policy: bool = False,
+    time_thres: int = 80,
+    compute_waveform_metrics: bool = False,
+):
+    """Build a jitted function evaluating one FULL episode horizon for N envs
+    in parallel. Returns per-env stacked metrics."""
+    codes = jnp.asarray(action_codes, jnp.int32)
+
+    def forward(variables, obs, prev_mem_masked):
+        pm = policy.apply(variables, obs, method=Move2HearPolicy.get_binSepMasks)
+        mono = policy.apply(
+            variables, pm, obs["mixed_bin_audio_mag"],
+            method=Move2HearPolicy.convert_bin2mono,
+        )
+        mem = policy.apply(
+            variables, mono, prev_mem_masked,
+            method=Move2HearPolicy.get_monoFromMem,
+        )
+        return pm, mono, mem
+
+    def eval_episodes(params_nav, stats_nav, params_qi, stats_qi, env_state, rng):
+        def vars_of(params, stats):
+            return {"params": params, "batch_stats": stats} if stats else {
+                "params": params
+            }
+
+        v_nav = vars_of(params_nav, stats_nav)
+        v_qi = vars_of(params_qi, stats_qi)
+        n = env_state.node.shape[0]
+        hid = policy.hidden_size
+
+        def step_fn(carry, inp):
+            env_state, hidden_nav, hidden_qi, masks, prev_mem = carry
+            step_i, rng_t = inp
+
+            obs_idx = de.observe(dev.episodes, env_state)
+            sensors = de.gather_sensors(dev, obs_idx)
+            rendered = render_binaural_mixture(
+                sensors["mono"], sensors["rirs"],
+                gt_mono_mag_norm=gt_mono_mag_norm,
+            )
+            obs = {
+                "mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
+                "gt_bin_comps": rendered.gt_bin_comps,
+                "gt_mono_comps": rendered.gt_mono_comps,
+                "target_class": sensors["target_class"],
+            }
+            if "rgb" in sensors:
+                obs["rgb"] = sensors["rgb"]
+            if "depth" in sensors:
+                obs["depth"] = sensors["depth"]
+
+            use_nav = jnp.logical_or(
+                jnp.logical_not(switch_policy), step_i < time_thres
+            )
+
+            if switch_policy:
+                def run_nav(_):
+                    pm, mono, mem = forward(v_nav, obs, prev_mem)
+                    act = policy.apply(
+                        v_nav, obs, hidden_nav, masks, pm, mono, mem, rng_t,
+                        deterministic, method=Move2HearPolicy.act,
+                    )
+                    return pm, mono, mem, act
+
+                def run_qi(_):
+                    pm, mono, mem = forward(v_qi, obs, prev_mem)
+                    act = policy.apply(
+                        v_qi, obs, hidden_qi, masks, pm, mono, mem, rng_t,
+                        deterministic, method=Move2HearPolicy.act,
+                    )
+                    return pm, mono, mem, act
+
+                pm, mono, mem, act = jax.lax.cond(
+                    step_i < time_thres, run_nav, run_qi, None
+                )
+                hidden_nav_new = jnp.where(
+                    (step_i < time_thres), act.hidden, hidden_nav
+                )
+                hidden_qi_new = jnp.where(
+                    (step_i < time_thres), hidden_qi, act.hidden
+                )
+            else:
+                pm, mono, mem = forward(v_nav, obs, prev_mem)
+                act = policy.apply(
+                    v_nav, obs, hidden_nav, masks, pm, mono, mem, rng_t,
+                    deterministic, method=Move2HearPolicy.act,
+                )
+                hidden_nav_new, hidden_qi_new = act.hidden, hidden_qi
+
+            bin_l2, mono_l2 = stft_l2_distance(
+                obs["mixed_bin_audio_mag"], pm, obs["gt_bin_comps"],
+                mono, obs["gt_mono_comps"],
+            )
+            _, mem_l2 = stft_l2_distance(
+                obs["mixed_bin_audio_mag"], pm, obs["gt_bin_comps"],
+                mem, obs["gt_mono_comps"],
+            )
+
+            if compute_waveform_metrics:
+                gm = obs["gt_mono_comps"]
+                gt_sig = istft_mag_phase(gm[..., 0], gm[..., 1])
+                mono_sig = istft_mag_phase(mono[..., 0], gm[..., 1])
+                mem_sig = istft_mag_phase(mem[..., 0], gm[..., 1])
+                mix_lin = jnp.expm1(obs["mixed_bin_audio_mag"])
+                phase = rendered.mixed_bin_audio_phase
+                mix_l = istft_mag_phase(mix_lin[..., 0], phase[..., 0])
+                mix_r = istft_mag_phase(mix_lin[..., 1], phase[..., 1])
+                mix_sig = 0.5 * (
+                    (mix_l - mix_l.mean(axis=-1, keepdims=True))
+                    + (mix_r - mix_r.mean(axis=-1, keepdims=True))
+                )
+                si_mono = jax.vmap(_si_metrics)(gt_sig, mono_sig, mix_sig)
+                si_mem = jax.vmap(_si_metrics)(gt_sig, mem_sig, mix_sig)
+            else:
+                si_mono = jnp.zeros((n, 11))
+                si_mem = jnp.zeros((n, 11))
+
+            env_state_new, info = de.env_step(
+                dev.scene, dev.episodes, env_state, codes[act.action[:, 0]],
+                max_episode_steps,
+            )
+            masks_new = 1.0 - info["done"].astype(jnp.float32)[:, None]
+            prev_mem_new = mem * masks_new[:, :, None, None]
+
+            out = {
+                "bin_l2": bin_l2[:, 0],
+                "mono_l2": mono_l2[:, 0],
+                "mem_l2": mem_l2[:, 0],
+                "si_mono": si_mono,
+                "si_mem": si_mem,
+                "geo": info["geo"],
+                "ndg": info["ndg"],
+            }
+            return (
+                env_state_new, hidden_nav_new, hidden_qi_new, masks_new,
+                prev_mem_new,
+            ), out
+
+        carry0 = (
+            env_state,
+            jnp.zeros((n, hid)),
+            jnp.zeros((n, hid)),
+            jnp.ones((n, 1)),
+            jnp.zeros((n, 512, 32, 1)),
+        )
+        (env_state, *_), outs = jax.lax.scan(
+            step_fn,
+            carry0,
+            (
+                jnp.arange(max_episode_steps),
+                jax.random.split(rng, max_episode_steps),
+            ),
+        )
+        # per-episode aggregates: (T, N) stacks -> last / all-step means
+        per_env = {
+            "mono_l2_last": outs["mono_l2"][-1],
+            "mono_l2_all": outs["mono_l2"].mean(axis=0),
+            "mem_l2_last": outs["mem_l2"][-1],
+            "mem_l2_all": outs["mem_l2"].mean(axis=0),
+            "bin_l2_all": outs["bin_l2"].mean(axis=0),
+            "geo_last": outs["geo"][-1],
+            "ndg_last": outs["ndg"][-1],
+            "si_mono_last": outs["si_mono"][-1],
+            "si_mem_last": outs["si_mem"][-1],
+        }
+        return env_state, per_env, outs
+
+    return eval_episodes
+
+
+def evaluate_checkpoint_device(
+    config,
+    checkpoint_path: str,
+    checkpoint_index: int = 0,
+    bundle=None,
+    episode_count: Optional[int] = None,
+    batch_envs: int = 16,
+) -> Dict:
+    """Batched device evaluation: episodes are assigned round-robin to
+    `batch_envs` parallel envs; each jitted call evaluates one full horizon
+    for the whole batch. Aggregates match eval/evaluator.py's dumps."""
+    import json
+    import os
+    import pickle
+
+    from move2hear_tpu.env.micro_scene import build_micro_scene
+    from move2hear_tpu.env.sim import Action
+    from move2hear_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = config
+    p = cfg.RL.PPO
+    switch = p.switch_policy
+    ckpt = load_checkpoint(checkpoint_path)
+    if switch:
+        params_nav = ckpt["params_nav"]
+        stats_nav = ckpt.get("batch_stats_nav") or {}
+        params_qi = ckpt["params_qualImprov"]
+        stats_qi = ckpt.get("batch_stats_qualImprov") or {}
+    else:
+        params_nav = ckpt["params"]
+        stats_nav = ckpt.get("batch_stats") or {}
+        params_qi, stats_qi = params_nav, stats_nav
+
+    if bundle is None:
+        bundle = build_micro_scene(
+            rows=4, cols=4, num_episodes=64,
+            near_target=not switch and p.sep_reward_weight == 1.0,
+            rir_length=cfg.TPU.MAX_RIR_LENGTH,
+        )
+    episodes = bundle.episodes
+    if cfg.EPS_SCENES:
+        episodes = episodes.filter_by_scenes(cfg.EPS_SCENES)
+
+    n_episodes = min(
+        episode_count or cfg.get("EVAL_EPISODE_COUNT", 1000), len(episodes)
+    )
+    n_envs = min(batch_envs, n_episodes)
+
+    policy = Move2HearPolicy(
+        num_actions=len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS),
+        hidden_size=p.hidden_size,
+        extra_rgb=cfg.EXTRA_RGB,
+        extra_depth=cfg.EXTRA_DEPTH,
+        use_ddppo=p.use_ddppo,
+    )
+    dev = de.build_device_bundle(bundle, episodes=episodes)
+    action_codes = tuple(
+        int(Action[a]) for a in cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS
+    )
+    max_steps = cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
+
+    eval_fn = jax.jit(
+        make_device_eval(
+            policy, dev, max_steps,
+            cfg.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM,
+            action_codes, p.deterministic_eval,
+            switch_policy=switch, time_thres=p.time_thres_for_pol_switch,
+            compute_waveform_metrics=cfg.COMPUTE_EVAL_METRICS,
+        )
+    )
+
+    key = jax.random.PRNGKey(cfg.SEED)
+    stats_episodes = {}
+    eval_metrics_dump = {}
+    done_eps = 0
+    batch_idx = 0
+    while done_eps < n_episodes:
+        # deterministic episode order: batch b covers episodes
+        # [b*n_envs, (b+1)*n_envs)
+        idxs = [
+            (batch_idx * n_envs + i) % len(episodes) for i in range(n_envs)
+        ]
+        order = np.asarray(idxs, np.int32)[:, None]
+        env_state = de.env_reset_all(dev.scene, dev.episodes, jnp.asarray(order))
+        key, sub = jax.random.split(key)
+        _, per_env, outs = eval_fn(
+            params_nav, stats_nav, params_qi, stats_qi, env_state, sub
+        )
+        per_env = jax.device_get(per_env)
+        take = min(n_envs, n_episodes - done_eps)
+        for i in range(take):
+            ep = episodes.episodes[idxs[i]]
+            entry = {
+                k: float(per_env[k][i])
+                for k in (
+                    "mono_l2_last", "mono_l2_all", "mem_l2_last",
+                    "mem_l2_all", "bin_l2_all",
+                )
+            }
+            entry["geo_distance_to_target_audio_source"] = float(
+                per_env["geo_last"][i]
+            )
+            entry["normalized_geo_distance_to_target_audio_source"] = float(
+                per_env["ndg_last"][i]
+            )
+            if cfg.COMPUTE_EVAL_METRICS:
+                for j, name in enumerate(SI_METRIC_NAMES):
+                    entry[f"mono_{name}_last"] = float(
+                        per_env["si_mono_last"][i, j]
+                    )
+                    entry[f"monoFromMem_{name}_last"] = float(
+                        per_env["si_mem_last"][i, j]
+                    )
+            stats_episodes[(ep.scene_id, ep.episode_id, batch_idx)] = entry
+        eval_metrics_dump[batch_idx] = jax.device_get(
+            {k: outs[k] for k in ("mono_l2", "mem_l2", "bin_l2")}
+        )
+        done_eps += take
+        batch_idx += 1
+
+    agg = {}
+    for k in next(iter(stats_episodes.values())):
+        vals = [v[k] for v in stats_episodes.values()]
+        agg[k] = {"mean": float(np.mean(vals)), "std": float(np.std(vals))}
+
+    out_dir = cfg.MODEL_DIR or "."
+    os.makedirs(out_dir, exist_ok=True)
+    split = cfg.EVAL.SPLIT
+    with open(
+        os.path.join(
+            out_dir, f"{split}_stats_ckpt_{checkpoint_index}_{cfg.SEED}.json"
+        ),
+        "w",
+    ) as f:
+        json.dump(agg, f, indent=2)
+    with open(
+        os.path.join(out_dir, f"eval_metrics_ckpt_{checkpoint_index}.pkl"), "wb"
+    ) as f:
+        pickle.dump({str(k): v for k, v in eval_metrics_dump.items()}, f)
+    return agg

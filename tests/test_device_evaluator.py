@@ -1,0 +1,114 @@
+"""Batched device evaluator: runs end-to-end, agrees with the host evaluator
+on STFT-L2 aggregates, and the on-device SI metrics match the numpy BSS-eval
+implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from move2hear_tpu.config import get_config
+from move2hear_tpu.env.micro_scene import build_micro_scene
+from move2hear_tpu.eval.bss import scale_bss_eval
+from move2hear_tpu.eval.device_evaluator import (
+    SI_METRIC_NAMES,
+    _si_metrics,
+    evaluate_checkpoint_device,
+)
+from move2hear_tpu.models import Move2HearPolicy
+from move2hear_tpu.rl.ppo import PPOConfig, create_agent_state
+from move2hear_tpu.utils.checkpoint import save_checkpoint
+
+HID = 64
+
+
+def test_device_si_metrics_match_numpy(rng):
+    # moderate-quality estimate: SIR/SAR well-conditioned in float32
+    ref = rng.standard_normal(16000)
+    interf = rng.standard_normal(16000)
+    est = 0.8 * ref + 0.4 * interf + 0.2 * rng.standard_normal(16000)
+    mix = ref + interf
+    ref0 = ref - ref.mean()
+    est0 = est - est.mean()
+    mix0 = mix - mix.mean()
+    expected = scale_bss_eval(ref0[:, None], est0, mix0, 0)
+    ours = np.asarray(
+        _si_metrics(jnp.asarray(ref), jnp.asarray(est), jnp.asarray(mix))
+    )
+    # order: si_sdr, si_sir, si_sar, sd_sdr, snr, srr, si_sdri, sd_sdri,
+    # snri, si_siri, si_sari
+    np.testing.assert_allclose(ours[0], expected[0], rtol=1e-4)  # si_sdr
+    np.testing.assert_allclose(ours[3], expected[3], rtol=1e-4)  # sd_sdr
+    np.testing.assert_allclose(ours[4], expected[4], rtol=1e-4)  # snr
+    np.testing.assert_allclose(ours[5], expected[5], rtol=1e-3)  # srr
+    np.testing.assert_allclose(ours[6], expected[6], rtol=1e-3, atol=1e-3)  # si_sdri
+    np.testing.assert_allclose(ours[2], expected[2], rtol=1e-3)  # si_sar
+    np.testing.assert_allclose(ours[10], expected[10], rtol=1e-3)  # si_sari
+    # si_sir of the MIXTURE (and hence si_siri) is ill-conditioned with a
+    # single reference: the interference is ~orthogonal to it, so e_interf
+    # sits at the precision floor (f32 on device vs f64 in numpy); skip the
+    # strict check there, just require finiteness.
+    assert np.isfinite(ours).all()
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dev_eval")
+    cfg = get_config(
+        model_dir=str(tmp),
+        opts=[
+            "RL.PPO.hidden_size", str(HID),
+            "RL.PPO.use_ddppo", "True",
+            "EVAL_EPISODE_COUNT", "3",
+            "COMPUTE_EVAL_METRICS", "True",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+        ],
+    )
+    bundle = build_micro_scene(rows=3, cols=3, num_episodes=4, rir_length=300)
+    policy = Move2HearPolicy(num_actions=3, hidden_size=HID, use_ddppo=True)
+    obs = {
+        "rgb": jnp.zeros((1, 128, 128, 3)),
+        "depth": jnp.zeros((1, 128, 128, 1)),
+        "mixed_bin_audio_mag": jnp.zeros((1, 512, 32, 2)),
+        "target_class": jnp.zeros((1, 1), jnp.int32),
+    }
+    v = policy.init(jax.random.PRNGKey(0), obs, jnp.zeros((1, HID)), jnp.ones((1, 1)))
+    st = create_agent_state(PPOConfig(), v)
+    ckpt_path = str(tmp / "data" / "ckpt.0.pth")
+    save_checkpoint(
+        ckpt_path,
+        {"params": st.params, "batch_stats": st.batch_stats, "config": {}},
+    )
+    return cfg, bundle, ckpt_path
+
+
+def test_device_eval_end_to_end(setup):
+    cfg, bundle, ckpt = setup
+    agg = evaluate_checkpoint_device(cfg, ckpt, 0, bundle=bundle, batch_envs=2)
+    assert np.isfinite(agg["mem_l2_last"]["mean"])
+    assert np.isfinite(agg["mono_si_sdr_last"]["mean"])
+    assert "monoFromMem_si_sdri_last" in agg
+
+
+def test_device_eval_matches_host_on_stft_l2(setup):
+    """Deterministic eval on the same first episode must agree between the
+    host and device evaluators."""
+    cfg, bundle, ckpt = setup
+    from move2hear_tpu.eval.evaluator import evaluate_checkpoint
+
+    cfg2 = cfg.clone().defrost()
+    cfg2.EVAL_EPISODE_COUNT = 1
+    cfg2.COMPUTE_EVAL_METRICS = False
+    cfg2.RL.PPO.deterministic_eval = True
+    cfg2.freeze()
+
+    host = evaluate_checkpoint(cfg2, ckpt, 1, bundle=bundle)
+    dev = evaluate_checkpoint_device(cfg2, ckpt, 2, bundle=bundle, batch_envs=1)
+    # the host env shuffles off; both evaluate episode 0 deterministically
+    assert host["mono_l2_last"]["mean"] == pytest.approx(
+        dev["mono_l2_last"]["mean"], rel=1e-3
+    )
+    assert host["mem_l2_last"]["mean"] == pytest.approx(
+        dev["mem_l2_last"]["mean"], rel=1e-3
+    )
