@@ -71,6 +71,19 @@ class RolloutSepIdx(flax.struct.PyTreeNode):
         )
 
 
+# packed stats layout (last axis): q, bin_l2, mono_l2, mem_l2, done, geo,
+# ndg, reward, then the action-probability vector
+STAT_FIELDS = ("q", "bin_l2", "mono_l2", "mem_l2", "done", "geo", "ndg",
+               "reward")
+
+
+def unpack_stats(packed) -> Dict[str, Any]:
+    """(... , N, K) packed stats -> dict of (..., N) arrays + 'probs'."""
+    out = {name: packed[..., i] for i, name in enumerate(STAT_FIELDS)}
+    out["probs"] = packed[..., len(STAT_FIELDS):]
+    return out
+
+
 class CollectOutput(NamedTuple):
     env_state: DeviceEnvState
     hidden: jnp.ndarray
@@ -78,7 +91,7 @@ class CollectOutput(NamedTuple):
     prev_mem_masked: jnp.ndarray  # (N, F, T, 1)
     rollouts_pol: Dict[str, Any]  # ready for make_update_pol
     sep_slab: Dict[str, Any]      # (T, ...) slices for the sep buffer
-    stats: Dict[str, jnp.ndarray]  # (T, N, ...) logging stacks
+    stats: jnp.ndarray            # (T, N, K) packed logging stats
 
 
 def _forward(policy, variables, obs, prev_mem_masked):
@@ -278,12 +291,23 @@ def make_collect(
             "prev_mem": outs["prev_mem_in"],
             "masks": outs["masks_in"],
         }
-        stats = {
-            k: outs[k]
-            for k in ("q", "bin_l2", "mono_l2", "mem_l2", "done", "geo", "ndg",
-                      "probs")
-        }
-        stats["rewards"] = rewards
+        # pack ALL logging stats into ONE (T, N, K) array: a single
+        # host fetch instead of ~15 per-leaf transfers (each pays a full
+        # round trip on tunneled runtimes)
+        stats = jnp.concatenate(
+            [
+                outs["q"][..., None],
+                outs["bin_l2"],
+                outs["mono_l2"],
+                outs["mem_l2"],
+                outs["done"][..., None].astype(jnp.float32),
+                outs["geo"][..., None],
+                outs["ndg"][..., None],
+                rewards,
+                outs["probs"],
+            ],
+            axis=-1,
+        )
         return CollectOutput(
             env_state=env_state,
             hidden=hidden,

@@ -815,9 +815,12 @@ class PPOTrainer(BaseRLTrainer):
                     state, env_state, hidden, masks, prev_mem, sep_buf,
                     cycle_key, jnp.int32(update_count),
                 )
-                st, pol_l, sep_l = jax.device_get(
+                from move2hear_tpu.rl.device_rollout import unpack_stats
+
+                st_packed, pol_l, sep_l = jax.device_get(
                     (stats, pol_losses, sep_losses)
                 )
+                st = unpack_stats(np.asarray(st_packed))
             else:
                 stats_list, pol_l = [], []
                 for sub in range(cycle):
@@ -889,12 +892,14 @@ class PPOTrainer(BaseRLTrainer):
                         state, sep_buf, banks,
                         jax.random.fold_in(cycle_key, 999), sep_lrs,
                     )
-                st, pol_l, sep_l = jax.device_get(
-                    (stats_list, pol_l, sep_losses)
+                # stack the cycle's packed stats on device -> ONE transfer
+                packed = jnp.stack(stats_list)
+                st_packed, pol_l, sep_l = jax.device_get(
+                    (packed, jnp.stack(pol_l), sep_losses)
                 )
-                st = {
-                    k: np.stack([d[k] for d in st]) for k in st[0]
-                }
+                from move2hear_tpu.rl.device_rollout import unpack_stats
+
+                st = unpack_stats(np.asarray(st_packed))
                 pol_l = np.asarray(pol_l)
                 sep_l = np.asarray(sep_l)
 
@@ -972,15 +977,15 @@ class PPOTrainer(BaseRLTrainer):
         self._windows = windows
 
     def _absorb_stats(self, st, windows, cur_ep, t_steps):
-        """Fold a rollout's (T, N) stat stacks into the reference's windowed
-        episode statistics (ppo_trainer.py:426-455)."""
+        """Fold the unpacked (T_total, N) stat stacks into the reference's
+        windowed episode statistics (ppo_trainer.py:426-455)."""
         for t in range(st["q"].shape[0]):
             done = st["done"][t].astype(bool)
-            cur_ep["reward"] += st["rewards"][t, :, 0]
+            cur_ep["reward"] += st["reward"][t]
             cur_ep["step"] += 1
-            cur_ep["bin"] += st["bin_l2"][t, :, 0]
-            cur_ep["mono"] += st["mono_l2"][t, :, 0]
-            cur_ep["mem"] += st["mem_l2"][t, :, 0]
+            cur_ep["bin"] += st["bin_l2"][t]
+            cur_ep["mono"] += st["mono_l2"][t]
+            cur_ep["mem"] += st["mem_l2"][t]
             if done.any():
                 steps_i = np.maximum(cur_ep["step"][done], 1)
                 windows["reward"].extend(cur_ep["reward"][done])
@@ -988,8 +993,8 @@ class PPOTrainer(BaseRLTrainer):
                 windows["bin_l2_all"].extend(cur_ep["bin"][done] / steps_i)
                 windows["mono_l2_all"].extend(cur_ep["mono"][done] / steps_i)
                 windows["mem_l2_all"].extend(cur_ep["mem"][done] / steps_i)
-                windows["mono_l2_last"].extend(st["mono_l2"][t, done, 0])
-                windows["mem_l2_last"].extend(st["mem_l2"][t, done, 0])
+                windows["mono_l2_last"].extend(st["mono_l2"][t, done])
+                windows["mem_l2_last"].extend(st["mem_l2"][t, done])
                 windows["ndg"].extend(st["ndg"][t, done])
                 windows["dg"].extend(st["geo"][t, done])
                 for k in cur_ep:
