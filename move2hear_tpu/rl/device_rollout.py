@@ -501,7 +501,7 @@ def make_train_cycle(
     dev: DeviceBundle,
     collect_fn,
     update_pol_fn,
-    update_sep_fn,
+    update_sep_cached_fn,
     cycle: int,
     t_steps: int,
     num_updates_total: int,
@@ -509,12 +509,14 @@ def make_train_cycle(
     use_clip_decay: bool,
 ):
     """Fuse one FULL training cycle — `cycle` x (collect rollout + policy
-    update), then `cycle` x separator refit over the accumulated index buffer
+    update), then the cached separator refit over the cycle's index slabs
     (the reference's ppo_trainer.py:730-994 schedule) — into a single jitted
-    program. Host interaction per cycle: one dispatch + one stats fetch.
+    program: ONE dispatch + one stats fetch per cycle.
 
-    On tunneled/remote TPU runtimes each host->device round trip costs
-    hundreds of ms; this turns ~18 round trips per cycle into 1."""
+    The separator slabs are `lax.scan` OUTPUTS (written in place by the scan
+    machinery) rather than a dynamically-updated carry buffer — the first
+    fused attempt carried the 1.4 GB buffer and XLA copied it per
+    sub-update."""
     banks = (dev.wav_bank, dev.rir_bank)
 
     def cycle_fn(
@@ -523,7 +525,6 @@ def make_train_cycle(
         hidden,
         masks,
         prev_mem,
-        sep_buf: RolloutSepIdx,
         rng,
         update_idx0,
     ):
@@ -531,14 +532,13 @@ def make_train_cycle(
             return 1.0 - idx.astype(jnp.float32) / num_updates_total
 
         def body(carry, sub):
-            state, env_state, hidden, masks, prev_mem, sep_buf = carry
+            state, env_state, hidden, masks, prev_mem = carry
             rng_c = jax.random.fold_in(rng, 2 * sub)
             rng_u = jax.random.fold_in(rng, 2 * sub + 1)
             out = collect_fn(
                 state.params, state.batch_stats, env_state, hidden, masks,
                 prev_mem, rng_c,
             )
-            sep_buf = _write_slab(sep_buf, out.sep_slab, sub * t_steps)
             idx = update_idx0 + sub
             lr_scale = decay(idx) if use_lr_decay else 1.0
             clip_scale = decay(idx) if use_clip_decay else 1.0
@@ -547,46 +547,45 @@ def make_train_cycle(
             )
             carry = (
                 state, out.env_state, out.hidden, out.masks,
-                out.prev_mem_masked, sep_buf,
+                out.prev_mem_masked,
             )
-            return carry, (jnp.stack(losses), out.stats)
+            return carry, (jnp.stack(losses), out.stats, out.sep_slab)
 
-        (state, env_state, hidden, masks, prev_mem, sep_buf), (
-            pol_losses, stats,
+        (state, env_state, hidden, masks, prev_mem), (
+            pol_losses, stats, sep_slabs,
         ) = jax.lax.scan(
             body,
-            (state, env_state, hidden, masks, prev_mem, sep_buf),
+            (state, env_state, hidden, masks, prev_mem),
             jnp.arange(cycle),
         )
 
-        def sep_body(state, i):
-            rng_s = jax.random.fold_in(rng, 1000 + i)
-            lr_scale = decay(update_idx0 + i) if use_lr_decay else 1.0
-            state, sl = update_sep_fn(state, sep_buf, banks, rng_s, lr_scale)
-            return state, jnp.stack(sl)
+        # (cycle, T, N, ...) slabs -> a (cycle*T, N, ...) index buffer
+        def flat(v):
+            return v.reshape((cycle * t_steps,) + v.shape[2:])
 
-        state, sep_losses = jax.lax.scan(sep_body, state, jnp.arange(cycle))
+        sep_buf = RolloutSepIdx(
+            sound_ids=flat(sep_slabs["sound_ids"]),
+            az_idx=flat(sep_slabs["az_idx"]),
+            node=flat(sep_slabs["node"]),
+            sources=flat(sep_slabs["sources"]),
+            target_class=flat(sep_slabs["target_class"]),
+            prev_mem=flat(sep_slabs["prev_mem"]),
+            masks=flat(sep_slabs["masks"]),
+        )
+        lr_scales = (
+            jax.vmap(decay)(update_idx0 + jnp.arange(cycle))
+            if use_lr_decay
+            else jnp.ones((cycle,), jnp.float32)
+        )
+        state, sep_losses = update_sep_cached_fn(
+            state, sep_buf, banks, jax.random.fold_in(rng, 999), lr_scales
+        )
         return (
-            state, env_state, hidden, masks, prev_mem, sep_buf,
+            state, env_state, hidden, masks, prev_mem,
             pol_losses, sep_losses, stats,
         )
 
     return cycle_fn
-
-
-def _write_slab(buf: RolloutSepIdx, slab, offset):
-    upd = lambda b, v: jax.lax.dynamic_update_slice_in_dim(
-        b, v.astype(b.dtype), offset, axis=0
-    )
-    return buf.replace(
-        sound_ids=upd(buf.sound_ids, slab["sound_ids"]),
-        az_idx=upd(buf.az_idx, slab["az_idx"]),
-        node=upd(buf.node, slab["node"]),
-        sources=upd(buf.sources, slab["sources"]),
-        target_class=upd(buf.target_class, slab["target_class"]),
-        prev_mem=upd(buf.prev_mem, slab["prev_mem"]),
-        masks=upd(buf.masks, slab["masks"]),
-    )
 
 
 @partial(jax.jit, donate_argnums=(0,))

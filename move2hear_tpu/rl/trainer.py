@@ -725,18 +725,21 @@ class PPOTrainer(BaseRLTrainer):
         update_sep_fn = make_update_sep_device(policy, ppo_cfg, n_envs, gt_norm)
         fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
         if fused:
-            # the whole cycle — 6x(collect+pol update) + 6x sep refit — as ONE
-            # jitted program. Measured SLOWER than per-rollout dispatch on the
-            # tunneled v5e (XLA fails to keep the separator buffer update
-            # in-place inside the scan); kept behind TPU.FUSED_CYCLE for
-            # hardware where it wins.
+            # the whole cycle — 6x(collect+pol update) + cached sep refit —
+            # as ONE jitted program (one dispatch + one fetch per cycle);
+            # separator slabs are scan outputs, not a carried buffer
+            from move2hear_tpu.rl.device_rollout import make_update_sep_cached
+
             train_cycle = jax.jit(
                 make_train_cycle(
                     policy, ppo_cfg, dev, collect_fn, update_pol_fn,
-                    update_sep_fn, cycle, t_steps, max(1, cfg.NUM_UPDATES),
+                    make_update_sep_cached(
+                        policy, ppo_cfg, n_envs, gt_norm, cycle
+                    ),
+                    cycle, t_steps, max(1, cfg.NUM_UPDATES),
                     p.use_linear_lr_decay, p.use_linear_clip_decay,
                 ),
-                donate_argnums=(0, 5),
+                donate_argnums=(0,),
             )
         else:
             pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
@@ -809,10 +812,10 @@ class PPOTrainer(BaseRLTrainer):
             key, cycle_key = jax.random.split(key)
             if fused:
                 (
-                    state, env_state, hidden, masks, prev_mem, sep_buf,
+                    state, env_state, hidden, masks, prev_mem,
                     pol_losses, sep_losses, stats,
                 ) = train_cycle(
-                    state, env_state, hidden, masks, prev_mem, sep_buf,
+                    state, env_state, hidden, masks, prev_mem,
                     cycle_key, jnp.int32(update_count),
                 )
                 from move2hear_tpu.rl.device_rollout import unpack_stats
