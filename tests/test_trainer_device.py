@@ -84,3 +84,34 @@ def test_eval_on_trained_checkpoint(run):
         episode_count=1,
     )
     assert np.isfinite(agg["mem_l2_last"]["mean"])
+
+
+def test_fused_cycle_loop(tmp_path):
+    """The one-dispatch-per-cycle fused program must train and checkpoint."""
+    cfg = get_config(
+        model_dir=str(tmp_path),
+        opts=[
+            "NUM_PROCESSES", "2",
+            "NUM_UPDATES", "2",
+            "CHECKPOINT_INTERVAL", "2",
+            "LOG_INTERVAL", "1",
+            "RL.PPO.hidden_size", "64",
+            "RL.PPO.num_steps", "2",
+            "RL.PPO.num_updates_per_cycle", "2",
+            "RL.PPO.ppo_epoch", "1",
+            "RL.PPO.num_mini_batch", "1",
+            "RL.PPO.use_ddppo", "True",
+            "TPU.FUSED_CYCLE", "True",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+        ],
+    )
+    bundle = build_micro_scene(
+        rows=3, cols=3, num_episodes=8, near_target=True, rir_length=400
+    )
+    trainer = PPOTrainer(cfg, bundle=bundle)
+    trainer.train()
+    assert any(
+        c.startswith("ckpt.") for c in os.listdir(cfg.CHECKPOINT_FOLDER)
+    )
+    assert len(trainer._windows["reward"]) > 0
