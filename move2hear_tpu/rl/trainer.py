@@ -745,15 +745,18 @@ class PPOTrainer(BaseRLTrainer):
             pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
             if pairwise:
                 from move2hear_tpu.rl.device_rollout import (
-                    make_collect_and_update, make_update_sep_n,
+                    make_collect_and_update, make_update_sep_cached,
                 )
 
                 collect_update = jax.jit(
                     make_collect_and_update(collect_fn, update_pol_fn),
                     donate_argnums=(0,),
                 )
-                update_sep_n = jax.jit(
-                    make_update_sep_n(update_sep_fn, cycle), donate_argnums=(0,)
+                update_sep_cached = jax.jit(
+                    make_update_sep_cached(
+                        policy, ppo_cfg, n_envs, gt_norm, cycle
+                    ),
+                    donate_argnums=(0,),
                 )
             else:
                 # separate programs measured fastest on the tunneled v5e:
@@ -864,37 +867,21 @@ class PPOTrainer(BaseRLTrainer):
                     sep_buf = write_sep_slab(sep_buf, sep_slab, sub * t_steps)
                     pol_l.append(losses)
                     stats_list.append(stats)
-                if pairwise:
-                    sep_lrs = (
-                        jnp.asarray(
-                            [
-                                linear_decay(update_count + i, cfg.NUM_UPDATES)
-                                for i in range(cycle)
-                            ],
-                            jnp.float32,
-                        )
-                        if p.use_linear_lr_decay
-                        else jnp.ones((cycle,), jnp.float32)
+                sep_lrs = (
+                    jnp.asarray(
+                        [
+                            linear_decay(update_count + i, cfg.NUM_UPDATES)
+                            for i in range(cycle)
+                        ],
+                        jnp.float32,
                     )
-                    state, sep_losses = update_sep_n(
-                        state, sep_buf, banks, cycle_key, sep_lrs
-                    )
-                else:
-                    sep_lrs = (
-                        jnp.asarray(
-                            [
-                                linear_decay(update_count + i, cfg.NUM_UPDATES)
-                                for i in range(cycle)
-                            ],
-                            jnp.float32,
-                        )
-                        if p.use_linear_lr_decay
-                        else jnp.ones((cycle,), jnp.float32)
-                    )
-                    state, sep_losses = update_sep_cached(
-                        state, sep_buf, banks,
-                        jax.random.fold_in(cycle_key, 999), sep_lrs,
-                    )
+                    if p.use_linear_lr_decay
+                    else jnp.ones((cycle,), jnp.float32)
+                )
+                state, sep_losses = update_sep_cached(
+                    state, sep_buf, banks,
+                    jax.random.fold_in(cycle_key, 999), sep_lrs,
+                )
                 # stack the cycle's packed stats on device -> ONE transfer
                 packed = jnp.stack(stats_list)
                 st_packed, pol_l, sep_l = jax.device_get(
