@@ -1,0 +1,215 @@
+"""File-backed data loaders against generated fixtures in the reference's
+on-disk layouts: mono wavs, RIR wav trees, frame-cache pickles, episode
+gz-json, passive datapoint pickles, points.txt + graph.pkl, and the YAML
+config presets."""
+
+import gzip
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from move2hear_tpu.config import get_config
+from move2hear_tpu.env.audio_db import FileAudioDB
+from move2hear_tpu.env.episodes import EpisodeDataset
+from move2hear_tpu.env.frame_cache import FileFrameCache
+from move2hear_tpu.env.scene import GraphScene
+from move2hear_tpu.pretrain.dataset import FilePassiveSource
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_wav(path, data, sr=16000):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    wavfile.write(path, sr, data)
+
+
+def test_file_audio_db(tmp_path, rng):
+    mono_dir = tmp_path / "mono"
+    rir_dir = tmp_path / "rirs"
+    wav = (rng.standard_normal(16000) * 5000).astype(np.int16)
+    _write_wav(str(mono_dir / "music_0.wav"), wav)
+    rir = (rng.standard_normal((800, 2)) * 0.1).astype(np.float32)
+    _write_wav(str(rir_dir / "sceneA" / "90" / "3_7.wav"), rir)
+
+    db = FileAudioDB(str(mono_dir), str(rir_dir), rir_length=1000)
+    assert db.sound_names() == ["music_0"]
+    np.testing.assert_allclose(db.get_mono("music_0"), wav.astype(np.float32))
+    got = db.get_rir("sceneA", 90, 3, 7)
+    assert got.shape == (1000, 2)
+    np.testing.assert_allclose(got[:800], rir, atol=1e-6)
+    assert (got[800:] == 0).all()
+    # unreadable RIR -> zeros (simulator_train.py:407-415)
+    missing = db.get_rir("sceneA", 0, 0, 1)
+    assert (missing == 0).all()
+    assert db.mono_bank().shape == (1, 16000)
+
+
+def test_file_frame_cache(tmp_path, rng):
+    root = tmp_path / "obs"
+    frames = {
+        (0, 0): {
+            "rgb": rng.integers(0, 255, (128, 128, 3), dtype=np.uint8),
+            "depth": rng.uniform(0, 1, (128, 128)).astype(np.float32),
+        }
+    }
+    os.makedirs(root / "mp3d", exist_ok=True)
+    with open(root / "mp3d" / "sceneA.pkl", "wb") as f:
+        pickle.dump(frames, f)
+    fc = FileFrameCache(str(root), "mp3d")
+    out = fc.get("sceneA", 0, 0)
+    np.testing.assert_array_equal(out["rgb"], frames[(0, 0)]["rgb"])
+    assert out["depth"].shape == (128, 128, 1)  # 2-D depth gets a channel
+
+
+def test_episode_dataset_json_gz(tmp_path):
+    data_dir = tmp_path / "ds"
+    content = data_dir / "content"
+    os.makedirs(content, exist_ok=True)
+    payload = {
+        "episodes": [
+            {
+                "episode_id": 7,
+                "scene_id": "sceneA.glb",
+                "start_node": 3,
+                "start_rotation_angle": 90,
+                "goals": [{"node": 5}, {"node": 9}],
+                "info": [
+                    {"target_label": 4, "sound": "music_0",
+                     "geodesic_distance": 2.0},
+                    {"sound": "esc_1"},
+                ],
+            }
+        ]
+    }
+    with gzip.open(content / "sceneA.json.gz", "wt") as f:
+        json.dump(payload, f)
+    data_path = str(data_dir / "all.json.gz")
+
+    assert EpisodeDataset.get_scenes_to_load(data_path) == ["sceneA"]
+    ds = EpisodeDataset.from_json_gz(data_path)
+    assert len(ds) == 1
+    ep = ds.episodes[0]
+    assert ep.scene_id == "sceneA" and ep.episode_id == "7"
+    assert ep.start_node == 3 and ep.start_rotation == 90
+    assert ep.source_nodes == [5, 9]
+    assert ep.sound_names == ["music_0", "esc_1"]
+    assert ep.target_class == 4 and ep.geodesic_distance == 2.0
+    assert len(ds.filter_by_scenes(["nope"])) == 0
+    assert len(ds.filter_by_scenes_n_ids({"sceneA": ["7"]})) == 1
+
+
+class _FakeNodes:
+    def __init__(self, points):
+        self._p = points
+
+    def __getitem__(self, i):
+        return {"point": self._p[i]}
+
+
+class _FakeGraph:
+    """Minimal stand-in for the pickled networkx graph: supports graph[i]
+    (adjacency, insertion-ordered) and graph.nodes[i]['point']."""
+
+    def __init__(self, adj, points):
+        self._adj = adj
+        self.nodes = _FakeNodes(points)
+
+    def __getitem__(self, i):
+        return self._adj[i]
+
+
+def test_graph_scene_from_files(tmp_path):
+    # SoundSpaces layout: metadata/{scene}/points.txt + graph.pkl
+    meta = tmp_path / "meta" / "sceneA"
+    os.makedirs(meta, exist_ok=True)
+    # columns: index, x, y, z (mp3d transform: (x, z-1.5, -y))
+    pts = np.array(
+        [[0, 0.0, 0.0, 1.5], [1, 1.0, 0.0, 1.5], [2, 0.0, -1.0, 1.5]]
+    )
+    np.savetxt(meta / "points.txt", pts, delimiter="\t")
+
+    transformed = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 0.0, 1.0)]
+    graph = _FakeGraph({0: [1, 2], 1: [0], 2: [0]}, transformed)
+    with open(meta / "graph.pkl", "wb") as f:
+        pickle.dump(graph, f)
+
+    scene = GraphScene.from_files(str(tmp_path / "meta"), "sceneA")
+    assert scene.num_nodes == 3
+    assert scene.neighbors[0] == [1, 2]
+    assert scene.shortest_path_steps(1, 2) == 2
+    # node 1 is +x of node 0 -> edge direction 0
+    assert scene.edge_direction(0, 1) == 0
+    assert scene.edge_direction(0, 2) == 90
+
+
+def test_file_passive_source(tmp_path, rng):
+    audio_dir = tmp_path / "audio"
+    rir_dir = tmp_path / "rirs"
+    dp_dir = tmp_path / "dps"
+    os.makedirs(audio_dir, exist_ok=True)
+    os.makedirs(dp_dir, exist_ok=True)
+    # one wav per class so sampling always finds something
+    for cls in ("id10393", "id10583", "id10061", "id10954", "id10355",
+                "id10799", "id10203", "id10371", "id10361", "id10254",
+                "music", "esc"):
+        _write_wav(
+            str(audio_dir / f"{cls}_0.wav"),
+            (rng.standard_normal(16000) * 3000).astype(np.int16),
+        )
+    _write_wav(
+        str(rir_dir / "sceneA" / "0" / "1_2.wav"),
+        (rng.standard_normal((500, 2)) * 0.1).astype(np.float32),
+    )
+    with open(dp_dir / "sceneA.pkl", "wb") as f:
+        pickle.dump(
+            {"sceneA": [{"r": 1, "azimuth": 0, "all_s": [2, 4]}]}, f
+        )
+
+    src = FilePassiveSource(
+        str(dp_dir), str(rir_dir), str(audio_dir), scenes=["sceneA"],
+        rir_length=600,
+    )
+    assert len(src) == 1
+    batch = src.sample_batch(np.random.default_rng(0), 2)
+    assert batch["mono_wavs"].shape == (2, 2, 16000)
+    assert batch["rirs"].shape == (2, 2, 600, 2)
+    assert (batch["target_class"] != 11).all()
+    # source 1's RIR file (1_4.wav) is missing -> zeros fallback
+    assert (batch["rirs"][:, 1] == 0).all()
+    assert np.abs(batch["rirs"][:, 0]).max() > 0
+
+
+def test_yaml_presets_load():
+    for preset, checks in {
+        "configs/train/nearTarget.yaml": {
+            ("NUM_PROCESSES",): 14,
+            ("RL", "PPO", "num_steps"): 20,
+            ("RL", "PPO", "sep_reward_weight"): 1.0,
+            ("RL", "PPO", "use_ddppo"): True,
+            ("TASK_CONFIG", "ENVIRONMENT", "MAX_EPISODE_STEPS"): 20,
+            ("TASK_CONFIG", "SIMULATOR", "AUDIO", "GT_MONO_MAG_NORM"): 1.2,
+        },
+        "configs/train/farTarget.yaml": {
+            ("RL", "PPO", "nav_reward_weight"): 1.0,
+            ("TASK_CONFIG", "ENVIRONMENT", "MAX_EPISODE_STEPS"): 80,
+        },
+        "configs/test/farTarget.yaml": {
+            ("RL", "PPO", "switch_policy"): True,
+            ("NUM_PROCESSES",): 1,
+            ("TASK_CONFIG", "ENVIRONMENT", "MAX_EPISODE_STEPS"): 100,
+        },
+        "configs/pretrain_passive.yaml": {
+            ("TRAINER_NAME",): "passive",
+        },
+    }.items():
+        cfg = get_config(os.path.join(REPO, preset), model_dir="/tmp/x",
+                         opts=None)
+        for keys, expected in checks.items():
+            node = cfg
+            for k in keys:
+                node = node[k]
+            assert node == expected, (preset, keys, node)
