@@ -8,8 +8,10 @@ Architectural parity with the reference's ``PassiveSepEncCNN`` /
            spectrogram freq-sliced into 16 chunks stacked on channels (32x32
            spatial), +1 target-class plane for the binaural-extraction variant.
   decoder: 5x [ConvT 4x4 stride 2 pad 1 (no bias) -> BatchNorm -> ReLU]
-           (outermost: ConvT -> Sigmoid) with skip concatenation, then a final
-           1x1 Conv (with bias); output de-sliced back to 512x32.
+           with skip concatenation, then a final 1x1 Conv (with bias); output
+           de-sliced back to 512x32. (unet_upconv's outermost ConvT->Sigmoid
+           branch is dead code in the reference — never passed True,
+           separator_cnn.py:127-135 — so it does not exist here.)
 
 TPU-first details: NHWC layout throughout (XLA:TPU's native conv layout),
 float32 params with an optional bfloat16 compute dtype for MXU-friendly
@@ -23,11 +25,23 @@ import jax.numpy as jnp
 
 from move2hear_tpu.ops.spec import SLICE_FACTOR, apply_mask_log1p, deslice16, slice16
 
-# kaiming-normal (fan_in) with leaky_relu(0.2) / relu gains, as the reference's
-# layer_init (separator_cnn.py:56-68).
-_LEAKY_GAIN2 = 2.0 / (1.0 + 0.2**2)
-kaiming_leaky = nn.initializers.variance_scaling(_LEAKY_GAIN2, "fan_in", "normal")
-kaiming_relu = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+# The reference's layer_init (separator_cnn.py:56-68, 139-151) passes
+# calculate_gain(...) as the *negative-slope* argument `a` of
+# kaiming_normal_, so the effective init std is gain(a)/sqrt(fan) with
+# gain(a) = sqrt(2 / (1 + a^2)) — NOT the textbook kaiming std. Reproduced
+# exactly:
+#   encoder convs:  a = calculate_gain("leaky_relu", 0.2) = sqrt(2/1.04)
+#                   -> scale = 2 / (1 + 2/1.04)
+#   decoder convs:  a = calculate_gain("relu") = sqrt(2) -> scale = 2/3
+_ENC_SCALE = 2.0 / (1.0 + 2.0 / 1.04)
+_DEC_SCALE = 2.0 / 3.0
+kaiming_leaky = nn.initializers.variance_scaling(_ENC_SCALE, "fan_in", "normal")
+kaiming_relu = nn.initializers.variance_scaling(_DEC_SCALE, "fan_in", "normal")
+# torch's fan_in for ConvTranspose2d weights (in, out, kh, kw) is computed
+# from dim 1 = out_channels * k^2 — flax's "fan_out" for (kh, kw, in, out).
+kaiming_relu_convT = nn.initializers.variance_scaling(
+    _DEC_SCALE, "fan_out", "normal"
+)
 
 
 class UNetConvBlock(nn.Module):
@@ -53,7 +67,6 @@ class UNetConvBlock(nn.Module):
 
 class UNetUpConvBlock(nn.Module):
     features: int
-    outermost: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -66,11 +79,9 @@ class UNetUpConvBlock(nn.Module):
             strides=(2, 2),
             padding=((2, 2), (2, 2)),
             use_bias=False,
-            kernel_init=kaiming_relu,
+            kernel_init=kaiming_relu_convT,
             dtype=self.dtype,
         )(x)
-        if self.outermost:
-            return nn.sigmoid(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32
         )(x)
@@ -121,9 +132,10 @@ class PassiveSepEncoder(nn.Module):
 
 
 class PassiveSepDecoder(nn.Module):
-    """U-Net decoder with skip concat; binaural variant outputs a 2-channel
-    sigmoid ratio mask, mono variant a 1-channel magnitude
-    (separator_cnn.py:111-170). Output layout (B, 512, 32, C)."""
+    """U-Net decoder with skip concat; every block is ConvT->BN->ReLU (the
+    reference never passes outermost=True), then a 1x1 conv with bias and no
+    activation — so the binaural "mask" and the mono magnitude are both
+    unbounded (separator_cnn.py:111-170). Output layout (B, 512, 32, C)."""
 
     convert_bin2mono: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -138,13 +150,10 @@ class PassiveSepDecoder(nn.Module):
         n_out = SLICE_FACTOR if self.convert_bin2mono else 2 * SLICE_FACTOR
         x = bottleneck.reshape(bottleneck.shape[0], 1, 1, -1)
 
-        plan = ((512, False), (256, False), (128, False), (64, False), (n_out, True))
-        for idx, (feats, outermost) in enumerate(plan):
+        for idx, feats in enumerate((512, 256, 128, 64, n_out)):
             if idx > 0:
                 x = jnp.concatenate([x, skips[idx - 1]], axis=-1)
-            x = UNetUpConvBlock(feats, outermost=outermost, dtype=self.dtype)(
-                x, train=train
-            )
+            x = UNetUpConvBlock(feats, dtype=self.dtype)(x, train=train)
         # final 1x1 conv, with bias, no activation (separator_cnn.py:134)
         x = nn.Conv(
             n_out, (1, 1), use_bias=True, kernel_init=kaiming_relu, dtype=self.dtype

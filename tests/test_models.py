@@ -44,13 +44,11 @@ def enc_params(cin):
 
 
 def dec_params(n_out):
-    # upconvs: (512->512)(1024->256)(512->128)(256->64)(128->n_out) + 1x1 conv
+    # upconvs: (512->512)(1024->256)(512->128)(256->64)(128->n_out), each
+    # ConvT+BN (block 5 included — outermost is never True in the reference,
+    # separator_cnn.py:127-135), + final 1x1 conv with bias
     plan = [(512, 512), (1024, 256), (512, 128), (256, 64), (128, n_out)]
-    total = 0
-    for i, (cin, cout) in enumerate(plan):
-        total += conv_p(cin, cout, 4)
-        if i < 4:
-            total += bn_p(cout)
+    total = sum(conv_p(cin, cout, 4) + bn_p(cout) for cin, cout in plan)
     total += conv_p(n_out, n_out, 1, bias=True)
     return total
 
