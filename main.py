@@ -46,6 +46,15 @@ def main():
     trainer_cls = registry.get_trainer(config.TRAINER_NAME)
     assert trainer_cls is not None, f"{config.TRAINER_NAME} is not supported"
 
+    # distributed control plane (ddppo_utils.py:43-56,117-165): multi-process
+    # rendezvous BEFORE any backend touch, then preemption signal handlers
+    # (SIGINT/SIGTERM/SIGUSR2 -> clean exit; SIGUSR1 -> requeue).
+    from move2hear_tpu.parallel.ddppo import add_signal_handlers, init_distributed
+
+    ppo = config.RL.PPO
+    init_distributed(ppo.master_addr, ppo.master_port)
+    add_signal_handlers()
+
     level = logging.DEBUG if config.DEBUG else logging.INFO
     logging.basicConfig(
         level=level,

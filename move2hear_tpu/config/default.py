@@ -114,6 +114,9 @@ def default_config() -> Config:
     c.TPU.COMPUTE_DTYPE = "float32"  # or "bfloat16"
     c.TPU.DEVICE_AUDIO_RENDERING = True
     c.TPU.DEVICE_ENV = True          # gymnax-style on-device env + scan rollouts
+    c.TPU.DEVICE_EVAL_MIN_EPISODES = 64  # route eval to the batched device
+    # evaluator at/above this episode count (the reference's 1-env host loop
+    # remains the small-eval default and parity oracle)
     c.TPU.FUSED_CYCLE = False        # fuse entire cycle into one jit (see trainer)
     c.TPU.PAIRWISE_FUSION = False    # fuse collect+update pairs (see trainer)
     c.TPU.MAX_RIR_LENGTH = 16000     # static pad length for RIR tensors
@@ -235,6 +238,15 @@ def get_config(
     config.CHECKPOINT_FOLDER = os.path.join(model_dir, "data")
     config.LOG_FILE = os.path.join(model_dir, os.path.basename(config.LOG_FILE))
     config.EVAL_CKPT_PATH_DIR = os.path.join(model_dir, "data")
+
+    # non-interactive variant of the reference's overwrite prompt
+    # (default.py:259-270): wipe stale output dirs only when asked to
+    if run_type == "train" and config.OVERWRITE_MODEL_DIR:
+        import shutil
+
+        for d in (config.TENSORBOARD_DIR, config.CHECKPOINT_FOLDER):
+            if os.path.exists(d):
+                shutil.rmtree(d)
 
     config.TASK_CONFIG.SIMULATOR.USE_SYNC_VECENV = config.USE_SYNC_VECENV
     # GT component channels scale with the number of sources (default.py:275-276)

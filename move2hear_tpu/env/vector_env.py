@@ -217,4 +217,10 @@ def construct_envs(
     env/micro_scene.py)."""
     if use_sync:
         return SyncVectorEnv(env_fns)
-    return ProcessVectorEnv(env_fns, workers_ignore_signals=workers_ignore_signals)
+    # fork (not forkserver): env_fns are closures over in-memory scene
+    # bundles, which only survive address-space inheritance. The reference
+    # instead pickles yacs configs to forkserver workers (env_utils.py:622-629)
+    # — its env state is file-backed, ours may be host RAM.
+    return ProcessVectorEnv(
+        env_fns, workers_ignore_signals=workers_ignore_signals, context="fork"
+    )

@@ -179,6 +179,31 @@ class TCPNumDoneStore(NumDoneStore):
             self._server.shutdown()
 
 
+def make_num_done_store(
+    world_rank: int,
+    world_size: int,
+    master_addr: str = "127.0.0.1",
+    master_port: int = 8738,
+) -> NumDoneStore:
+    """Pick the num-done backend from the world topology (the reference
+    always builds a TCPStore on master_addr:master_port+1,
+    ppo_trainer.py:597-600): single process -> in-memory; multi-process on
+    one host (loopback master) -> O_APPEND file; multi-host -> the rank-0
+    served TCP KV."""
+    if world_size <= 1:
+        return LocalNumDoneStore()
+    if master_addr in ("127.0.0.1", "localhost"):
+        import tempfile
+
+        path = os.path.join(
+            tempfile.gettempdir(), f"m2h_num_done_{master_port}"
+        )
+        return FileNumDoneStore(path)
+    return TCPNumDoneStore(
+        master_addr, master_port + 1, is_master=world_rank == 0
+    )
+
+
 def requeue_job():
     """Requeue the SLURM job on preemption (ddppo_utils.py:98-110): only the
     REQUEUE-flagged rank-0 process calls scontrol."""

@@ -47,3 +47,15 @@ def shard_rollouts(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
         lambda x: jax.device_put(x, env_sh if getattr(x, "ndim", 0) >= 2 else rep),
         tree,
     )
+
+
+def shard_env_batch(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
+    """Shard the LEADING (env) axis of every (N, ...) leaf over the data mesh
+    — the placement for per-env state entering the device-env collect scan
+    (env_state, hidden, masks, prev_mem). Scalars are replicated."""
+    env_sh = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, env_sh if getattr(x, "ndim", 0) >= 1 else rep),
+        tree,
+    )

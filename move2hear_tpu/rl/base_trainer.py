@@ -57,11 +57,32 @@ class BaseRLTrainer(BaseTrainer):
     @staticmethod
     def _setup_eval_config(checkpoint_config, eval_config):
         """Merge priority: eval CLI opts > ckpt CLI opts > eval cfg > ckpt cfg
-        (base_trainer.py:104-140)."""
+        (base_trainer.py:104-140). Falls back to the eval config alone when
+        the saved config is outdated (missing/renamed keys)."""
+        import logging
+
         from move2hear_tpu.utils.config_tree import Config
 
-        merged = Config(checkpoint_config if isinstance(checkpoint_config, dict) else {})
-        merged.merge_from_other(
-            eval_config.to_dict() if isinstance(eval_config, Config) else eval_config
+        ckpt_dict = (
+            checkpoint_config if isinstance(checkpoint_config, dict) else {}
         )
-        return merged
+        eval_dict = (
+            eval_config.to_dict()
+            if isinstance(eval_config, Config) else dict(eval_config)
+        )
+        ckpt_opts = list(ckpt_dict.get("CMD_TRAILING_OPTS") or [])
+        eval_opts = list(eval_dict.get("CMD_TRAILING_OPTS") or [])
+
+        merged = Config(ckpt_dict)
+        merged.merge_from_other(eval_dict)
+        try:
+            merged.merge_from_list(ckpt_opts)
+            merged.merge_from_list(eval_opts)
+        except (KeyError, AssertionError):
+            logging.getLogger(__name__).info(
+                "Saved config is outdated, using solely eval config"
+            )
+            merged = Config(eval_dict)
+            if eval_opts:
+                merged.merge_from_list(eval_opts)
+        return merged.freeze()

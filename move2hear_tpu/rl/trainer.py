@@ -43,7 +43,12 @@ from move2hear_tpu.eval.metrics import stft_l2_distance
 from move2hear_tpu.models.policy import ActOutput, Move2HearPolicy
 from move2hear_tpu.ops.frontend import render_binaural_mixture
 from move2hear_tpu.parallel.ddppo import RolloutSyncState, get_distrib_info
-from move2hear_tpu.parallel.mesh import make_mesh, replicate, shard_rollouts
+from move2hear_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_env_batch,
+    shard_rollouts,
+)
 from move2hear_tpu.rl.base_trainer import BaseRLTrainer
 from move2hear_tpu.rl.gae import compute_returns
 from move2hear_tpu.rl.ppo import (
@@ -140,7 +145,10 @@ class PPOTrainer(BaseRLTrainer):
                 )
             )
         self._wav_bank = bundle.audio_db.mono_bank()
-        return construct_envs(env_fns, use_sync=True), bundle
+        # env_utils.py:608-616 dispatch; the reference's ThreadedVectorEnv
+        # debug fallback maps to the sync implementation here
+        use_sync = cfg.USE_SYNC_VECENV or not cfg.USE_VECENV
+        return construct_envs(env_fns, use_sync=use_sync), bundle
 
     # ------------------------------------------------------------------
     def _build_rollout_step(self, policy: Move2HearPolicy, gt_mono_mag_norm: float):
@@ -322,11 +330,16 @@ class PPOTrainer(BaseRLTrainer):
             rollouts_pol = shard_rollouts(mesh, rollouts_pol, cfg.TPU.AXIS_NAME)
             rollouts_sep = shard_rollouts(mesh, rollouts_sep, cfg.TPU.AXIS_NAME)
 
+        from move2hear_tpu.parallel.ddppo import make_num_done_store
+
         sync = RolloutSyncState(
             sync_frac=p.sync_frac,
             short_rollout_threshold=p.short_rollout_threshold,
             num_steps=t_steps,
             world_size=world_size,
+            store=make_num_done_store(
+                world_rank, world_size, p.master_addr, p.master_port
+            ),
         )
 
         # --- initial forward --------------------------------------------
@@ -370,6 +383,13 @@ class PPOTrainer(BaseRLTrainer):
             k: np.zeros((n_envs, 1))
             for k in ("reward", "step", "bin", "mono", "mem")
         }
+        probs_win = deque(maxlen=win)
+
+        from move2hear_tpu.utils.tb import TensorboardWriter
+
+        tb = TensorboardWriter(
+            cfg.TENSORBOARD_DIR if world_rank == 0 else "", flush_secs=30
+        )
 
         env_time = 0.0
         pth_time = 0.0
@@ -442,13 +462,16 @@ class PPOTrainer(BaseRLTrainer):
                     # ---- ONE host fetch per step: next action + step stats
                     (
                         host_actions_arr, rewards_h, bin_h, mono_h, mem_h,
+                        probs_h,
                     ) = jax.device_get(
                         (
                             next_act.action, rewards_dev, cur_stats["bin_l2"],
                             cur_stats["mono_l2"], cur_stats["mem_l2"],
+                            next_act.probs,
                         )
                     )
                     host_actions = np.asarray(host_actions_arr).ravel()
+                    probs_win.append(np.asarray(probs_h).mean(axis=0))
 
                     # ---- episode stats (ppo_trainer.py:426-455) ----------
                     d = np.asarray(dones).astype(np.float64)[:, None]
@@ -546,6 +569,11 @@ class PPOTrainer(BaseRLTrainer):
                 update_count += 1
 
                 if update_count % cfg.LOG_INTERVAL == 0 and world_rank == 0:
+                    self._write_tb_scalars(
+                        tb, windows, probs_win,
+                        (value_loss, action_loss, entropy), None,
+                        ppo_cfg.lr_pol, update_count * t_steps * n_envs,
+                    )
                     fps = (update_count * t_steps * n_envs) / max(
                         1e-9, time.time() - t_start
                     )
@@ -569,6 +597,12 @@ class PPOTrainer(BaseRLTrainer):
             rollouts_sep = after_update_sep(rollouts_sep)
             pth_time += time.time() - t3
             if world_rank == 0:
+                step_now = update_count * t_steps * n_envs
+                tb.add_scalar("Separator/Bin_Loss", float(bin_loss), step_now)
+                tb.add_scalar("Separator/Mono_Loss", float(mono_loss), step_now)
+                tb.add_scalar(
+                    "Separator/MonoFromMem_Loss", float(mem_loss), step_now
+                )
                 logger.info(
                     "cycle %d sep losses: bin %.4f mono %.4f mem %.4f",
                     cycle_idx, float(bin_loss), float(mono_loss), float(mem_loss),
@@ -589,11 +623,41 @@ class PPOTrainer(BaseRLTrainer):
             ):
                 self._save(state, update_count, cycle_idx)
 
+            if self._check_preemption(state, update_count):
+                break
+
+        tb.close()
         if world_rank == 0:
             self._save(state, update_count, num_cycles)
         self._final_state = state
         self._windows = windows
         envs.close()
+
+    def _check_preemption(self, state, update_count) -> bool:
+        """On a preemption signal, save the full interrupted train state and
+        requeue (ddppo_utils.py:26-110 semantics; the reference defined but
+        never wired this — here it is live in both train loops)."""
+        from move2hear_tpu.parallel.ddppo import (
+            EXIT, requeue_job, save_interrupted_state,
+        )
+
+        if not EXIT.is_set():
+            return False
+        _, world_rank, _ = get_distrib_info()
+        if world_rank == 0:
+            save_interrupted_state(
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state_pol": state.opt_state_pol,
+                    "opt_state_sep": state.opt_state_sep,
+                    "extra_state": {"update_count": update_count},
+                    "config": self.config.to_dict(),
+                },
+                self.config.JOB_ID,
+            )
+            requeue_job()
+        return True
 
     # ------------------------------------------------------------------
     def _train_device(self) -> None:
@@ -645,7 +709,6 @@ class PPOTrainer(BaseRLTrainer):
         )
         env_state = de.env_reset_all(dev.scene, dev.episodes, jnp.asarray(order))
 
-        with_rgb = dev.rgb_bank is not None and not cfg.EXTRA_RGB or dev.rgb_bank is not None
         init_obs = {
             "mixed_bin_audio_mag": jnp.zeros((n_envs, 512, 32, 2)),
             "gt_bin_comps": jnp.zeros((n_envs, 512, 32, 4 * cfg.NUM_SOUNDS_IN_MIX)),
@@ -785,6 +848,29 @@ class PPOTrainer(BaseRLTrainer):
         masks = jnp.ones((n_envs, 1))
         prev_mem = jnp.zeros((n_envs, 512, 32, 1))
 
+        # DDPPO over ICI (SURVEY §2.9): per-env state and both rollout buffers
+        # shard their env axis over the data mesh; params and banks replicate.
+        # XLA propagates the sharding through the collect scan and inserts the
+        # gradient/stat collectives inside the jitted updates — the allreduce
+        # semantics of the reference's DDP path (rl/ppo/ppo.py:286-319).
+        n_dev = len(mesh.devices.flat)
+        self._mesh = mesh
+        self._env_sharded = False
+        if n_dev > 1:
+            if n_envs % n_dev == 0:
+                axis = cfg.TPU.AXIS_NAME
+                env_state = shard_env_batch(mesh, env_state, axis)
+                hidden = shard_env_batch(mesh, hidden, axis)
+                masks = shard_env_batch(mesh, masks, axis)
+                prev_mem = shard_env_batch(mesh, prev_mem, axis)
+                sep_buf = shard_rollouts(mesh, sep_buf, axis)
+                self._env_sharded = True
+            else:
+                logger.warning(
+                    "NUM_PROCESSES=%d not divisible by %d devices; "
+                    "device-env path runs replicated", n_envs, n_dev,
+                )
+
         win = p.reward_window_size
         windows = {
             k: deque(maxlen=win)
@@ -796,6 +882,7 @@ class PPOTrainer(BaseRLTrainer):
         cur_ep = {
             k: np.zeros((n_envs,)) for k in ("reward", "step", "bin", "mono", "mem")
         }
+        probs_win = deque(maxlen=win)
 
         t_start = time.time()
         update_count = resume_count
@@ -806,7 +893,11 @@ class PPOTrainer(BaseRLTrainer):
         num_cycles = max(1, (cfg.NUM_UPDATES - resume_count) // cycle)
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
 
-        from move2hear_tpu.rl.device_rollout import write_sep_slab
+        from move2hear_tpu.utils.tb import TensorboardWriter
+
+        tb = TensorboardWriter(
+            cfg.TENSORBOARD_DIR if world_rank == 0 else "", flush_secs=30
+        )
 
         profile_dir = cfg.get("PROFILE_DIR", "")
         for cycle_idx in range(num_cycles):
@@ -900,8 +991,19 @@ class PPOTrainer(BaseRLTrainer):
                 k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()
             }
             self._absorb_stats(st_flat, windows, cur_ep, t_steps)
+            probs_win.append(st_flat["probs"].mean(axis=(0, 1)))
             value_loss, action_loss, entropy = pol_l[-1]
             bin_loss, mono_loss, mem_loss = sep_l[-1]
+
+            if world_rank == 0:
+                lr_now = p.lr_pol * (
+                    linear_decay(update_count, cfg.NUM_UPDATES)
+                    if p.use_linear_lr_decay else 1.0
+                )
+                self._write_tb_scalars(
+                    tb, windows, probs_win, pol_l[-1], sep_l[-1], lr_now,
+                    total_env_steps,
+                )
 
             if (
                 world_rank == 0
@@ -938,33 +1040,59 @@ class PPOTrainer(BaseRLTrainer):
             ):
                 self._save(state, update_count, cycle_idx)
 
-            # preemption: save interrupted state and bail out cleanly
-            # (ddppo_utils.py:26-110 semantics; the reference defined but
-            # never wired this — here it is live)
-            from move2hear_tpu.parallel.ddppo import (
-                EXIT, requeue_job, save_interrupted_state,
-            )
-
-            if EXIT.is_set():
-                if world_rank == 0:
-                    save_interrupted_state(
-                        {
-                            "params": state.params,
-                            "batch_stats": state.batch_stats,
-                            "opt_state_pol": state.opt_state_pol,
-                            "opt_state_sep": state.opt_state_sep,
-                            "extra_state": {"update_count": update_count},
-                            "config": cfg.to_dict(),
-                        },
-                        cfg.JOB_ID,
-                    )
-                    requeue_job()
+            if self._check_preemption(state, update_count):
                 break
 
+        tb.close()
         if world_rank == 0:
             self._save(state, update_count, num_cycles)
         self._final_state = state
         self._windows = windows
+
+    def _write_tb_scalars(
+        self, tb, windows, probs_win, pol_losses, sep_losses, lr_now, step
+    ):
+        """The reference's per-update training scalars (ppo_trainer.py:905-957):
+        windowed episode stats, 4 STFT-L2 channels, per-action probs,
+        PPO losses, LR — plus the separator refit losses."""
+        wmean = lambda k: float(np.mean(windows[k])) if len(windows[k]) else 0.0
+        tb.add_scalar("Environment/Reward", wmean("reward"), step)
+        tb.add_scalar("Environment/Episode_length", wmean("steps"), step)
+        if probs_win:
+            probs = np.mean(np.stack(list(probs_win)), axis=0)
+            for i, v in enumerate(probs):
+                tb.add_scalar(f"Policy/Action_prob_{i}", float(v), step)
+        tb.add_scalar(
+            "Environment/STFT_L2_loss/mono_lastStep", wmean("mono_l2_last"), step
+        )
+        tb.add_scalar(
+            "Environment/STFT_L2_loss/mono_avgAllSteps", wmean("mono_l2_all"), step
+        )
+        tb.add_scalar(
+            "Environment/STFT_L2_loss/monoFromMem_lastStep",
+            wmean("mem_l2_last"), step,
+        )
+        tb.add_scalar(
+            "Environment/STFT_L2_loss/monoFromMem_avgAllSteps",
+            wmean("mem_l2_all"), step,
+        )
+        tb.add_scalar(
+            "Environment/Normalized_geo_distance_to_target_audio_source",
+            wmean("ndg"), step,
+        )
+        tb.add_scalar(
+            "Environment/Geo_distance_to_target_audio_source", wmean("dg"), step
+        )
+        value_loss, action_loss, entropy = pol_losses
+        tb.add_scalar("Policy/Value_Loss", float(value_loss), step)
+        tb.add_scalar("Policy/Action_Loss", float(action_loss), step)
+        tb.add_scalar("Policy/Entropy", float(entropy), step)
+        tb.add_scalar("Policy/Learning_Rate", float(lr_now), step)
+        if sep_losses is not None:
+            bin_loss, mono_loss, mem_loss = sep_losses
+            tb.add_scalar("Separator/Bin_Loss", float(bin_loss), step)
+            tb.add_scalar("Separator/Mono_Loss", float(mono_loss), step)
+            tb.add_scalar("Separator/MonoFromMem_Loss", float(mem_loss), step)
 
     def _absorb_stats(self, st, windows, cur_ep, t_steps):
         """Fold the unpacked (T_total, N) stat stacks into the reference's
@@ -1008,9 +1136,36 @@ class PPOTrainer(BaseRLTrainer):
         return load_checkpoint(checkpoint_path)
 
     def _eval_checkpoint(self, checkpoint_path: str, checkpoint_index: int = 0):
+        """Merge the checkpoint's saved config per EVAL.USE_CKPT_CONFIG
+        (base_trainer.py:104-140; switch-policy eval reads the nav policy's
+        saved config, ppo_trainer.py:1036-1049), then route: the batched
+        device evaluator for large episode counts, the reference-shaped 1-env
+        host evaluator otherwise."""
+        cfg = self.config
+        saved = (load_checkpoint(checkpoint_path).get("config") or {})
+        if cfg.RL.PPO.switch_policy:
+            nav_cfg = saved.get("config_nav") if isinstance(saved, dict) else None
+            config = self._setup_eval_config(nav_cfg, cfg) if nav_cfg else cfg
+        elif cfg.EVAL.USE_CKPT_CONFIG and saved:
+            config = self._setup_eval_config(saved, cfg)
+        else:
+            config = cfg
+
+        n_eps = config.get("EVAL_EPISODE_COUNT", config.EVAL.EPISODE_COUNT)
+        if (
+            config.TPU.DEVICE_ENV
+            and n_eps >= config.TPU.get("DEVICE_EVAL_MIN_EPISODES", 64)
+        ):
+            from move2hear_tpu.eval.device_evaluator import (
+                evaluate_checkpoint_device,
+            )
+
+            return evaluate_checkpoint_device(
+                config, checkpoint_path, checkpoint_index, bundle=self._bundle
+            )
         from move2hear_tpu.eval.evaluator import evaluate_checkpoint
 
         return evaluate_checkpoint(
-            self.config, checkpoint_path, checkpoint_index, bundle=self._bundle
+            config, checkpoint_path, checkpoint_index, bundle=self._bundle
         )
 

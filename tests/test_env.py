@@ -224,3 +224,29 @@ def test_action_index_mapping(bundle):
     assert env.sim._rotation == rot0
     env.step(0)  # MOVE_FORWARD
     assert env.sim.receiver_node in (node0, *bundle.scene.neighbors[node0])
+
+
+def test_vecenv_config_knobs_honored(bundle, tmp_path):
+    """USE_VECENV / USE_SYNC_VECENV must select the launcher
+    (env_utils.py:608-616); regression for the round-1 hardcoded sync."""
+    from move2hear_tpu.config import get_config
+    from move2hear_tpu.rl.trainer import PPOTrainer
+
+    def envs_for(opts):
+        cfg = get_config(
+            model_dir=str(tmp_path),
+            opts=["NUM_PROCESSES", "2"] + opts,
+        )
+        trainer = PPOTrainer(cfg, bundle=bundle)
+        envs, _ = trainer._make_envs(0, 1)
+        try:
+            return type(envs)
+        finally:
+            envs.close()
+
+    assert envs_for(["USE_SYNC_VECENV", "True"]) is SyncVectorEnv
+    assert envs_for(["USE_VECENV", "False"]) is SyncVectorEnv
+    assert (
+        envs_for(["USE_VECENV", "True", "USE_SYNC_VECENV", "False"])
+        is ProcessVectorEnv
+    )

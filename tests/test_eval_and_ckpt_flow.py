@@ -198,3 +198,52 @@ def test_eval_video_option_disk(tmp_path, bundle):
     assert vids and vids[0].endswith(".npy")
     frames = np.load(tmp_path / "videos" / vids[0])
     assert frames.shape[1:] == (128, 128, 3) and frames.dtype == np.uint8
+
+
+def test_setup_eval_config_priority(tmp_path):
+    """Merge priority eval_opts > ckpt_opts > eval_cfg > ckpt_cfg
+    (base_trainer.py:104-140), incl. the outdated-config fallback."""
+    from move2hear_tpu.rl.base_trainer import BaseRLTrainer
+
+    ckpt_cfg = get_config(
+        model_dir=str(tmp_path),
+        opts=[
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "5",
+            "SEED", "7",
+        ],
+    ).to_dict()
+    eval_cfg = get_config(model_dir=str(tmp_path), opts=["SEED", "9"])
+
+    merged = BaseRLTrainer._setup_eval_config(ckpt_cfg, eval_cfg)
+    # a key set only via the ckpt's CLI opts survives the eval-config merge
+    assert merged.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS == 5
+    # eval CLI opts outrank ckpt CLI opts
+    assert merged.SEED == 9
+
+    stale = {"CMD_TRAILING_OPTS": ["NO.SUCH.KEY", "1"], "SEED": 3}
+    merged2 = BaseRLTrainer._setup_eval_config(stale, eval_cfg)
+    assert merged2.SEED == 9  # fell back to the eval config
+
+
+def test_eval_routes_to_device_evaluator(tmp_path, bundle):
+    """_eval_checkpoint must use the batched device evaluator for large
+    EVAL_EPISODE_COUNT (round-1 always took the 1-env host path)."""
+    from move2hear_tpu.rl.trainer import PPOTrainer
+
+    cfg = get_config(
+        model_dir=str(tmp_path),
+        opts=[
+            "RL.PPO.hidden_size", str(HID),
+            "RL.PPO.use_ddppo", "True",
+            "EVAL_EPISODE_COUNT", "64",
+            "COMPUTE_EVAL_METRICS", "True",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+        ],
+    )
+    ckpt = _make_ckpt(str(tmp_path / "data" / "ckpt.0.pth"), cfg)
+    trainer = PPOTrainer(cfg, bundle=bundle)
+    agg = trainer._eval_checkpoint(ckpt, 0)
+    assert np.isfinite(agg["mem_l2_last"]["mean"])
+    # SI metrics in the aggregate exist only on the device-evaluator path
+    assert "mono_si_sdr_last" in agg

@@ -92,6 +92,61 @@ def test_sharded_update_matches_single_device():
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
+def test_device_cycle_sharded_parity(tmp_path):
+    """The DEFAULT device-env training path (collect scan + policy update +
+    cached separator refit) run with the env axis sharded over the 8-device
+    mesh must produce the same parameters as the same path on one device —
+    the full-cycle analog of test_sharded_update_matches_single_device
+    (reference DDPPO semantics: rl/ppo/ppo.py:286-319)."""
+    from move2hear_tpu.config import get_config
+    from move2hear_tpu.env.micro_scene import build_micro_scene
+    from move2hear_tpu.rl.trainer import PPOTrainer
+
+    bundle = build_micro_scene(
+        rows=3, cols=3, num_episodes=16, near_target=True, rir_length=300
+    )
+
+    def run(mesh_size, subdir):
+        cfg = get_config(
+            model_dir=str(tmp_path / subdir),
+            opts=[
+                "NUM_PROCESSES", "8",
+                "NUM_UPDATES", "1",
+                "CHECKPOINT_INTERVAL", "10",
+                "LOG_INTERVAL", "1",
+                "RL.PPO.hidden_size", "32",
+                "RL.PPO.num_steps", "2",
+                "RL.PPO.num_updates_per_cycle", "1",
+                "RL.PPO.ppo_epoch", "1",
+                "RL.PPO.num_mini_batch", "1",
+                "RL.PPO.use_ddppo", "True",
+                "RL.PPO.sep_reward_weight", "1.0",
+                "RL.PPO.nav_reward_weight", "0.0",
+                "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
+                "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+                "TPU.MESH_SHAPE", f"[{mesh_size}]",
+            ],
+        )
+        trainer = PPOTrainer(cfg, bundle=bundle)
+        trainer.train()
+        return trainer
+
+    t1 = run(1, "single")
+    t8 = run(-1, "sharded")
+    assert not t1._env_sharded and t8._env_sharded
+    assert len(t8._mesh.devices.flat) == 8
+
+    p1 = jax.device_get(t1._final_state.params)
+    p8 = jax.device_get(t8._final_state.params)
+    flat1, def1 = jax.tree.flatten(p1)
+    flat8, def8 = jax.tree.flatten(p8)
+    assert def1 == def8
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        )
+
+
 def test_num_done_stores(tmp_path):
     for store in (LocalNumDoneStore(), FileNumDoneStore(str(tmp_path / "nd"))):
         assert store.get() == 0
@@ -116,6 +171,22 @@ def test_tcp_num_done_store():
         master.close()
 
 
+def test_make_num_done_store_topology():
+    from move2hear_tpu.parallel.ddppo import make_num_done_store
+
+    assert isinstance(make_num_done_store(0, 1), LocalNumDoneStore)
+    s = make_num_done_store(1, 4, "127.0.0.1", 9912)
+    assert isinstance(s, FileNumDoneStore)
+    s.reset()
+    s.add(2)
+    assert s.get() == 2
+    s.reset()
+    # multi-host: non-rank-0 gets a TCP client (no server bound)
+    t = make_num_done_store(1, 4, "10.0.0.1", 9913)
+    assert isinstance(t, TCPNumDoneStore)
+    assert t._server is None
+
+
 def test_rollout_sync_semantics():
     sync = RolloutSyncState(
         sync_frac=0.6, short_rollout_threshold=0.25, num_steps=20, world_size=4
@@ -132,6 +203,44 @@ def test_rollout_sync_semantics():
     # world_size 1: never stops early (the reference's single-proc fallback)
     solo = RolloutSyncState(0.6, 0.25, 20, 1)
     assert not solo.should_stop_early(19)
+
+
+def test_preemption_sigusr2_saves_interrupted_state(tmp_path):
+    """End-to-end preemption: SIGUSR2 to a training process must produce the
+    interrupted-state file for its JOB_ID and a clean exit — the wired analog
+    of the reference's (dead) ddppo_utils.py:26-110 path."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from move2hear_tpu.utils.checkpoint import load_checkpoint
+
+    script = os.path.join(os.path.dirname(__file__), "_preempt_train.py")
+    env = dict(os.environ)
+    env["INTERRUPTED_STATE_DIR"] = str(tmp_path / "interrupted")
+    proc = subprocess.Popen(
+        [sys.executable, script, str(tmp_path / "run")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        for line in proc.stdout:
+            if "READY" in line:
+                break
+        proc.send_signal(signal.SIGUSR2)
+        out = proc.stdout.read()
+        rc = proc.wait(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert rc == 0, out
+    assert "CLEAN_EXIT" in out, out
+
+    path = str(tmp_path / "interrupted" / "preempt-test.ckpt")
+    assert os.path.exists(path), os.listdir(str(tmp_path / "interrupted"))
+    state = load_checkpoint(path)
+    assert state["extra_state"]["update_count"] >= 1
+    assert "opt_state_pol" in state and "opt_state_sep" in state
 
 
 def test_get_distrib_info_fallback(monkeypatch):

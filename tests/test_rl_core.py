@@ -161,3 +161,30 @@ def test_switch_policy_forces_single_process(tmp_path):
     )
     assert cfg.NUM_PROCESSES == 1
     assert cfg.EVAL.USE_CKPT_CONFIG is False
+
+
+def test_sep_buffer_slot_layout_regression():
+    """Pin the sep-buffer slot layout (VERDICT r1 weak-7): the slot-0 seed
+    written at init must survive the first insert_sep (which targets slot
+    step+1, mirroring rollout_storage.py:102-148's next-slot convention)."""
+    import jax.numpy as jnp
+
+    from move2hear_tpu.rl.rollout import create_rollout_sep, insert_sep
+
+    t, n, s, r = 3, 2, 2, 8
+    buf = create_rollout_sep(t, n, num_sources=s, rir_length=r)
+    seed_ids = jnp.full((n, s), 7, jnp.int32)
+    buf = buf.replace(sound_ids=buf.sound_ids.at[0].set(seed_ids))
+
+    buf = insert_sep(
+        buf,
+        jnp.asarray(0),
+        jnp.full((n, s), 3, jnp.int32),
+        jnp.ones((n, s, r, 2)),
+        jnp.full((n, 1), 2, jnp.int32),
+        jnp.zeros((n, 1)),
+        jnp.zeros((n, 512, 32, 1)),
+    )
+    assert (np.asarray(buf.sound_ids[0]) == 7).all()   # seed intact
+    assert (np.asarray(buf.sound_ids[1]) == 3).all()   # insert went to step+1
+    assert (np.asarray(buf.sound_ids[2]) == 0).all()

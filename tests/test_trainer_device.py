@@ -60,6 +60,31 @@ def test_device_loop_trains_and_checkpoints(run):
     }
 
 
+def test_device_loop_writes_tensorboard_scalars(run):
+    """The train loop must emit the reference's TB scalar channels
+    (ppo_trainer.py:905-957) — regression for round-1's scalar-free TB."""
+    cfg, _ = run
+    assert os.path.isdir(cfg.TENSORBOARD_DIR)
+    events = [
+        f for f in os.listdir(cfg.TENSORBOARD_DIR)
+        if "tfevents" in f or f.startswith("events.")
+    ]
+    assert events, os.listdir(cfg.TENSORBOARD_DIR)
+    # the event file must actually contain our tags
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(cfg.TENSORBOARD_DIR)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {
+        "Environment/Reward", "Policy/Value_Loss", "Policy/Action_prob_0",
+        "Environment/STFT_L2_loss/monoFromMem_lastStep", "Separator/Bin_Loss",
+        "Policy/Learning_Rate",
+    } <= tags, tags
+
+
 def test_device_loop_episode_windows(run):
     _, trainer = run
     w = trainer._windows
