@@ -43,47 +43,55 @@ def np_istft(mag, phase, length=RECONSTRUCTED_SIGNAL_LENGTH):
     return sig[N_FFT // 2 :][:length]
 
 
-def _scale_bss_eval_helper(references, estimate, idx, compute_sir_sar=True):
-    """references: (n_samples, n_sources); estimate: (n_samples,)."""
-    source = references[..., idx]
-    source_energy = (source**2).sum()
+def _si_bss_rows(references, estimates, idx, compute_sir_sar=True):
+    """Scale-invariant BSS decomposition of several estimates against target
+    source `idx`, vectorized over the estimate axis.
 
-    alpha = source @ estimate / source_energy
+    Math per Le Roux et al. 2019 eqs. 5-11 (the same published formulas the
+    reference's nussl-derived ``eval_metrics.py:12-57`` implements; epsilon
+    regularization placement kept identical for numeric parity).
 
-    e_res = estimate - source
-    signal = (source**2).sum()
-    noise = (e_res**2).sum()
-    snr = 10 * np.log10(signal / noise)
+    references: (n_samples, n_sources); estimates: (m, n_samples).
+    Returns an (m, 6) array of rows [si_sdr, si_sir, si_sar, sd_sdr, snr, srr].
+    """
+    target = references[..., idx]                       # (n,)
+    target_energy = target @ target
 
-    e_true = source * alpha
-    e_res = estimate - e_true
-    signal = (e_true**2).sum()
-    noise = (e_res**2).sum()
-    si_sdr = 10 * np.log10(signal / noise)
+    alpha = estimates @ target / target_energy          # (m,) optimal scaling
+    scaled = alpha[:, None] * target[None, :]           # projection onto target
+    residual = estimates - scaled                       # (m, n)
 
-    srr = -10 * np.log10((1 - (1 / alpha)) ** 2)
+    proj_energy = (scaled**2).sum(axis=1)
+    snr = 10 * np.log10(
+        target_energy / ((estimates - target[None, :]) ** 2).sum(axis=1)
+    )
+    si_sdr = 10 * np.log10(proj_energy / (residual**2).sum(axis=1))
     sd_sdr = snr + 10 * np.log10(alpha**2)
+    srr = -10 * np.log10((1.0 - 1.0 / alpha) ** 2)
 
-    si_sir = np.nan
-    si_sar = np.nan
+    si_sir = np.full_like(si_sdr, np.nan)
+    si_sar = np.full_like(si_sdr, np.nan)
     if compute_sir_sar:
-        references_projection = references.T @ references
-        references_onto_residual = references.T @ e_res
-        b = np.linalg.solve(references_projection, references_onto_residual) + EPS
-        e_interf = references @ b
-        e_artif = e_res - e_interf + EPS
-        si_sir = 10 * np.log10(signal / (e_interf**2).sum())
-        si_sar = 10 * np.log10(signal / (e_artif**2).sum())
+        # interference = least-squares reconstruction of the residual within
+        # the span of ALL reference sources; what remains is artifact
+        gram = references.T @ references                          # (k, k)
+        coeffs = np.linalg.solve(gram, references.T @ residual.T) + EPS
+        interference = (references @ coeffs).T                    # (m, n)
+        artifact = residual - interference + EPS
+        si_sir = 10 * np.log10(proj_energy / (interference**2).sum(axis=1))
+        si_sar = 10 * np.log10(proj_energy / (artifact**2).sum(axis=1))
 
-    return si_sdr, si_sir, si_sar, sd_sdr, snr, srr
+    return np.stack([si_sdr, si_sir, si_sar, sd_sdr, snr, srr], axis=1)
 
 
 def scale_bss_eval(references, estimate, mixture, idx, compute_sir_sar=True):
     """Full metric tuple including improvement-over-mixture variants
     (eval_metrics.py:60-122). references (n, n_src), estimate (n,),
-    mixture (n,)."""
-    est = _scale_bss_eval_helper(references, estimate, idx, compute_sir_sar)
-    mix = _scale_bss_eval_helper(references, mixture, idx, compute_sir_sar)
+    mixture (n,). One vectorized decomposition scores the estimate and the
+    mixture baseline together."""
+    est, mix = _si_bss_rows(
+        references, np.stack([estimate, mixture]), idx, compute_sir_sar
+    )
     si_sdr, si_sir, si_sar, sd_sdr, snr, srr = est
     return (
         si_sdr, si_sir, si_sar, sd_sdr, snr, srr,
