@@ -71,7 +71,7 @@ def measure_reference_frontend(seconds: float = 6.0, rir_len: int = 16000):
     return n / (time.time() - t0)  # env-steps/sec on one CPU core
 
 
-def measure_ours():
+def measure_ours(extra_opts=(), num_updates=30):
     from move2hear_tpu.config import get_config
     from move2hear_tpu.env.micro_scene import build_micro_scene
     from move2hear_tpu.rl.trainer import PPOTrainer
@@ -82,7 +82,7 @@ def measure_ours():
         model_dir=model_dir,
         opts=[
             "NUM_PROCESSES", "14",
-            "NUM_UPDATES", "18",            # 3 cycles of 6; first excluded
+            "NUM_UPDATES", str(num_updates),  # cycles of 6; pre-steady excluded
             "CHECKPOINT_INTERVAL", "100000",
             "LOG_INTERVAL", "100000",
             "RL.PPO.num_steps", "20",
@@ -94,7 +94,11 @@ def measure_ours():
             "RL.PPO.nav_reward_weight", "0.0",
             "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "20",
             "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
-        ],
+            # measured-fastest configuration on the tunneled v5e (see
+            # docs/ROUND2_NOTES.md): defer the per-cycle stats fetch so async
+            # dispatch runs ahead of the host round trip
+            "TPU.STATS_FETCH_INTERVAL", "2",
+        ] + list(extra_opts),
     )
     bundle = build_micro_scene(
         rows=4, cols=4, num_episodes=64, near_target=True, rir_length=16000
@@ -105,8 +109,22 @@ def measure_ours():
 
 
 def main():
-    ours = measure_ours()
-    ref_single_core = measure_reference_frontend()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--updates", type=int, default=30)
+    ap.add_argument(
+        "--opts", nargs="*", default=[],
+        help="extra dotted-key config override pairs",
+    )
+    ap.add_argument(
+        "--ref", type=float, default=None,
+        help="reuse a previously measured reference steps/s (skip re-measuring)",
+    )
+    args = ap.parse_args()
+
+    ours = measure_ours(args.opts, args.updates)
+    ref_single_core = args.ref or measure_reference_frontend()
     cores = os.cpu_count() or 1
     ref_ceiling = ref_single_core * min(14, cores)
     result = {

@@ -12,7 +12,7 @@ Two input modes (audio_cnn.py:117-128):
 import flax.linen as nn
 import jax.numpy as jnp
 
-from move2hear_tpu.ops.spec import apply_mask_log1p, slice16
+from move2hear_tpu.ops.spec import slice16
 from move2hear_tpu.models.unet import kaiming_relu
 
 
@@ -31,10 +31,13 @@ class AudioCNN(nn.Module):
         if self.encode_mono_n_mono_from_mem:
             assert pred_mono_n_mono_from_mem is not None
             x = jnp.log1p(jnp.clip(pred_mono_n_mono_from_mem, min=0))
+            x = slice16(x)
         else:
             assert pred_bin_sep_masks is not None and mixed_log_mag is not None
-            x = apply_mask_log1p(mixed_log_mag, pred_bin_sep_masks)
-        x = slice16(x)
+            # fused mask+log1p+slice16 (Pallas when the runtime supports it)
+            from move2hear_tpu.ops.pallas_kernels import masked_mix_slice16
+
+            x = masked_mix_slice16(mixed_log_mag, pred_bin_sep_masks)
 
         for feats, k, s in ((32, 8, 4), (64, 4, 2), (32, 2, 1)):
             x = nn.Conv(

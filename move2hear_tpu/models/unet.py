@@ -23,7 +23,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from move2hear_tpu.ops.spec import SLICE_FACTOR, apply_mask_log1p, deslice16, slice16
+from move2hear_tpu.ops.spec import SLICE_FACTOR, deslice16, slice16
 
 # The reference's layer_init (separator_cnn.py:56-68, 139-151) passes
 # calculate_gain(...) as the *negative-slope* argument `a` of
@@ -112,8 +112,12 @@ class PassiveSepEncoder(nn.Module):
     ):
         if self.convert_bin2mono:
             assert pred_bin_sep_masks is not None
-            x = apply_mask_log1p(mixed_log_mag, pred_bin_sep_masks)
-            x = slice16(x)
+            # fused transcendentals + 16-way slice permutation: one Pallas
+            # VMEM pass on runtimes whose Mosaic accepts it (eager auto-probe),
+            # XLA-fused jnp otherwise
+            from move2hear_tpu.ops.pallas_kernels import masked_mix_slice16
+
+            x = masked_mix_slice16(mixed_log_mag, pred_bin_sep_masks)
         else:
             x = slice16(mixed_log_mag)
             assert target_class is not None

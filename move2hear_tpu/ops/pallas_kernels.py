@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from move2hear_tpu.ops.spec import SLICE_FACTOR, apply_mask_log1p, slice16
+from move2hear_tpu.ops.spec import SLICE_FACTOR, apply_mask_log1p, deslice16, slice16
 
 
 def _on_tpu() -> bool:
@@ -53,6 +53,29 @@ def _try_pallas(name, fn, fallback):
         return fallback()
 
 
+def pallas_ok(name: str = "masked_mix_slice16") -> bool:
+    """Eagerly probe Mosaic support ONCE, on representative shapes, outside
+    any trace. This is the auto-probe model-code must use: a pallas_call
+    traced into an outer jit cannot fall back when the Mosaic compile fails
+    later, so the decision has to be made eagerly (concrete inputs execute
+    immediately even when this is called during tracing)."""
+    status = _PALLAS_STATUS.get(name)
+    if status is None:
+        if not _on_tpu():
+            return False  # leave undecided: CPU tests may probe interpret mode
+        try:
+            if name == "masked_mix_slice16":
+                x = jnp.zeros((1, 512, 32, 2), jnp.float32)
+                jax.block_until_ready(_masked_mix_slice16_call(x, x, False))
+            elif name == "overlap_add":
+                fr = jnp.zeros((1, 32, 1023), jnp.float32)
+                jax.block_until_ready(overlap_add(fr, use_pallas=True))
+            _PALLAS_STATUS[name] = True
+        except Exception:
+            _PALLAS_STATUS[name] = False
+    return bool(_PALLAS_STATUS.get(name))
+
+
 # ---------------------------------------------------------------------------
 # 1. fused masked-mix + log1p + slice16
 # ---------------------------------------------------------------------------
@@ -74,10 +97,22 @@ def masked_mix_slice16(
     mixed_log_mag: jnp.ndarray, mask: jnp.ndarray, use_pallas=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(B, F, T, C) x (B, F, T, C) -> (B, F/16, T, 16C), fused."""
-    if use_pallas is None:
-        use_pallas = _on_tpu()
+    """(B, F, T, C) x (B, F, T, C) -> (B, F/16, T, 16C), fused.
 
+    Differentiable (custom VJP with an analytic jnp backward), so it is safe
+    on the pretrain path where gradients flow through the bin2mono encoder
+    input into the binaural masks. With ``use_pallas=None`` the Mosaic
+    support probe (:func:`pallas_ok`) decides eagerly, never inside a trace.
+    """
+    if use_pallas is None:
+        use_pallas = pallas_ok("masked_mix_slice16")
+    return _masked_mix_slice16_diff(
+        mixed_log_mag, mask, bool(use_pallas), bool(interpret)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _masked_mix_slice16_diff(mixed_log_mag, mask, use_pallas, interpret):
     def fallback():
         return slice16(apply_mask_log1p(mixed_log_mag, mask))
 
@@ -88,6 +123,23 @@ def masked_mix_slice16(
         lambda: _masked_mix_slice16_call(mixed_log_mag, mask, interpret),
         fallback,
     )
+
+
+def _masked_mix_slice16_fwd(mixed_log_mag, mask, use_pallas, interpret):
+    out = _masked_mix_slice16_diff(mixed_log_mag, mask, use_pallas, interpret)
+    return out, (mixed_log_mag, mask)
+
+
+def _masked_mix_slice16_bwd(use_pallas, interpret, res, g):
+    # y = log1p(relu(expm1(mix) * mask)), then a pure layout permutation.
+    mix, mask = res
+    gd = deslice16(g)
+    u = jnp.expm1(mix) * mask
+    du = jnp.where(u > 0, gd / (1.0 + u), 0.0)
+    return du * jnp.exp(mix) * mask, du * jnp.expm1(mix)
+
+
+_masked_mix_slice16_diff.defvjp(_masked_mix_slice16_fwd, _masked_mix_slice16_bwd)
 
 
 def _masked_mix_slice16_call(mixed_log_mag, mask, interpret):

@@ -830,7 +830,10 @@ class PPOTrainer(BaseRLTrainer):
                 )
 
                 collect = jax.jit(collect_fn)
-                update_pol = jax.jit(update_pol_fn)
+                # donate the train state: params + both Adam states alias
+                # input->output buffers (frozen separator subtrees are
+                # pass-through), saving ~0.5 GB of HBM copies per update
+                update_pol = jax.jit(update_pol_fn, donate_argnums=(0,))
                 # all cycle sep refits in one program with the frozen
                 # separator forward hoisted (see make_update_sep_cached)
                 update_sep_cached = jax.jit(
@@ -899,6 +902,17 @@ class PPOTrainer(BaseRLTrainer):
             cfg.TENSORBOARD_DIR if world_rank == 0 else "", flush_secs=30
         )
 
+        from move2hear_tpu.parallel.ddppo import EXIT
+        from move2hear_tpu.rl.device_rollout import unpack_stats
+
+        # Deferred stats fetch: each cycle queues its (device-resident) packed
+        # stats + losses; ONE host fetch per STATS_FETCH_INTERVAL cycles. On
+        # tunneled runtimes every fetch is a full round trip that stalls the
+        # async dispatch pipeline — deferring it lets the device run several
+        # cycles ahead.
+        stats_interval = max(1, int(cfg.TPU.get("STATS_FETCH_INTERVAL", 1)))
+        pending = []  # (env_steps_after, update_count_after, packed, pol, sep)
+
         profile_dir = cfg.get("PROFILE_DIR", "")
         for cycle_idx in range(num_cycles):
             if profile_dir and cycle_idx == 2:
@@ -912,12 +926,7 @@ class PPOTrainer(BaseRLTrainer):
                     state, env_state, hidden, masks, prev_mem,
                     cycle_key, jnp.int32(update_count),
                 )
-                from move2hear_tpu.rl.device_rollout import unpack_stats
-
-                st_packed, pol_l, sep_l = jax.device_get(
-                    (stats, pol_losses, sep_losses)
-                )
-                st = unpack_stats(np.asarray(st_packed))
+                packed, pol_dev, sep_dev = stats, pol_losses, sep_losses
             else:
                 stats_list, pol_l = [], []
                 for sub in range(cycle):
@@ -975,60 +984,72 @@ class PPOTrainer(BaseRLTrainer):
                 )
                 # stack the cycle's packed stats on device -> ONE transfer
                 packed = jnp.stack(stats_list)
-                st_packed, pol_l, sep_l = jax.device_get(
-                    (packed, jnp.stack(pol_l), sep_losses)
-                )
-                from move2hear_tpu.rl.device_rollout import unpack_stats
-
-                st = unpack_stats(np.asarray(st_packed))
-                pol_l = np.asarray(pol_l)
-                sep_l = np.asarray(sep_l)
+                pol_dev, sep_dev = jnp.stack(pol_l), sep_losses
 
             update_count += cycle
             total_env_steps += cycle * t_steps * n_envs
+            pending.append(
+                (total_env_steps, update_count, packed, pol_dev, sep_dev)
+            )
 
-            st_flat = {
-                k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()
-            }
-            self._absorb_stats(st_flat, windows, cur_ep, t_steps)
-            probs_win.append(st_flat["probs"].mean(axis=(0, 1)))
-            value_loss, action_loss, entropy = pol_l[-1]
-            bin_loss, mono_loss, mem_loss = sep_l[-1]
+            flush = (
+                len(pending) >= stats_interval
+                or cycle_idx == num_cycles - 1
+                or EXIT.is_set()
+                or bool(profile_dir and cycle_idx in (2, 3))
+            )
+            if flush:
+                fetched = jax.device_get([e[2:] for e in pending])
+                for (steps_at, upd_at, *_), (st_packed, pol_h, sep_h) in zip(
+                    pending, fetched
+                ):
+                    st = unpack_stats(np.asarray(st_packed))
+                    st_flat = {
+                        k: v.reshape((-1,) + v.shape[2:]) for k, v in st.items()
+                    }
+                    self._absorb_stats(st_flat, windows, cur_ep, t_steps)
+                    probs_win.append(st_flat["probs"].mean(axis=(0, 1)))
+                    pol_h, sep_h = np.asarray(pol_h), np.asarray(sep_h)
+                    value_loss, action_loss, entropy = pol_h[-1]
+                    bin_loss, mono_loss, mem_loss = sep_h[-1]
+                    if world_rank == 0:
+                        lr_now = p.lr_pol * (
+                            linear_decay(upd_at, cfg.NUM_UPDATES)
+                            if p.use_linear_lr_decay else 1.0
+                        )
+                        self._write_tb_scalars(
+                            tb, windows, probs_win, pol_h[-1], sep_h[-1],
+                            lr_now, steps_at,
+                        )
+                pending.clear()
 
-            if world_rank == 0:
-                lr_now = p.lr_pol * (
-                    linear_decay(update_count, cfg.NUM_UPDATES)
-                    if p.use_linear_lr_decay else 1.0
-                )
-                self._write_tb_scalars(
-                    tb, windows, probs_win, pol_l[-1], sep_l[-1], lr_now,
-                    total_env_steps,
-                )
+                if (
+                    world_rank == 0
+                    and (update_count // cycle)
+                    % max(1, cfg.LOG_INTERVAL // cycle) == 0
+                ):
+                    fps = total_env_steps / max(1e-9, time.time() - t_start)
+                    logger.info(
+                        "update %d | fps %.1f (steady %.1f) | value %.4f "
+                        "action %.4f entropy %.3f | sep bin %.4f mono %.4f "
+                        "mem %.4f | win reward %.4f | win mem-L2(last) %.4f",
+                        update_count, fps, self.steady_fps, float(value_loss),
+                        float(action_loss), float(entropy), float(bin_loss),
+                        float(mono_loss), float(mem_loss),
+                        float(np.mean(windows["reward"])) if windows["reward"] else 0.0,
+                        float(np.mean(windows["mem_l2_last"])) if windows["mem_l2_last"] else 0.0,
+                    )
 
-            if (
-                world_rank == 0
-                and (update_count // cycle) % max(1, cfg.LOG_INTERVAL // cycle) == 0
-            ):
-                fps = total_env_steps / max(1e-9, time.time() - t_start)
-                logger.info(
-                    "update %d | fps %.1f (steady %.1f) | value %.4f "
-                    "action %.4f entropy %.3f | sep bin %.4f mono %.4f "
-                    "mem %.4f | win reward %.4f | win mem-L2(last) %.4f",
-                    update_count, fps, self.steady_fps, float(value_loss),
-                    float(action_loss), float(entropy), float(bin_loss),
-                    float(mono_loss), float(mem_loss),
-                    float(np.mean(windows["reward"])) if windows["reward"] else 0.0,
-                    float(np.mean(windows["mem_l2_last"])) if windows["mem_l2_last"] else 0.0,
-                )
-
-            if self._steady_t0 is None:
-                jax.block_until_ready(state.params)
-                self._steady_t0 = time.time()
-                self._steady_steps0 = total_env_steps
-            elif total_env_steps > self._steady_steps0:
-                self.steady_fps = (total_env_steps - self._steady_steps0) / (
-                    time.time() - self._steady_t0
-                )
+                # steady-state fps, measured flush-to-flush: device_get above
+                # synchronizes through the flushed cycles, so the clock only
+                # covers completed device work (first flush excludes compiles)
+                if self._steady_t0 is None:
+                    self._steady_t0 = time.time()
+                    self._steady_steps0 = total_env_steps
+                elif total_env_steps > self._steady_steps0:
+                    self.steady_fps = (
+                        total_env_steps - self._steady_steps0
+                    ) / (time.time() - self._steady_t0)
 
             if profile_dir and cycle_idx == 3:
                 jax.block_until_ready(state.params)
