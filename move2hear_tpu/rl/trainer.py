@@ -324,11 +324,16 @@ class PPOTrainer(BaseRLTrainer):
             num_sources=cfg.NUM_SOUNDS_IN_MIX,
             rir_length=bundle.audio_db.rir_length,
         )
-        if len(mesh.devices.flat) > 1:
+        if len(mesh.devices.flat) > 1 and n_envs % len(mesh.devices.flat) == 0:
             # DDPPO over ICI: env axis sharded, params replicated; XLA inserts
             # the gradient/stat collectives in the jitted updates.
             rollouts_pol = shard_rollouts(mesh, rollouts_pol, cfg.TPU.AXIS_NAME)
             rollouts_sep = shard_rollouts(mesh, rollouts_sep, cfg.TPU.AXIS_NAME)
+        elif len(mesh.devices.flat) > 1:
+            logger.warning(
+                "NUM_PROCESSES=%d not divisible by %d devices; host-path "
+                "rollouts stay unsharded", n_envs, len(mesh.devices.flat),
+            )
 
         from move2hear_tpu.parallel.ddppo import make_num_done_store
 

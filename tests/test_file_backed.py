@@ -213,3 +213,45 @@ def test_yaml_presets_load():
             for k in keys:
                 node = node[k]
             assert node == expected, (preset, keys, node)
+
+
+def test_graph_scene_from_real_networkx_pickle(tmp_path):
+    """Load an ACTUAL pickled networkx.Graph (the format SoundSpaces ships,
+    habitat_audio/utils.py:47-63) — not the _FakeGraph stand-in — and verify
+    adjacency-insertion order, the node 'point' override, and the mp3d
+    transform survive the round trip (VERDICT r1 weak-9)."""
+    import networkx as nx
+
+    meta = tmp_path / "meta" / "sceneB"
+    os.makedirs(meta, exist_ok=True)
+    # 4 nodes; deliberately insert edges of node 0 in order [3, 1] to pin
+    # adjacency-ORDER preservation (the movement rule takes the FIRST match)
+    g = nx.Graph()
+    points = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 0.0, 1.0), (2.0, 0.0, 0.0)]
+    for i, p in enumerate(points):
+        g.add_node(i, point=np.asarray(p))
+    g.add_edge(0, 3)
+    g.add_edge(0, 1)
+    g.add_edge(1, 3)
+    g.add_edge(0, 2)
+    with open(meta / "graph.pkl", "wb") as f:
+        pickle.dump(g, f)
+    # points.txt values differ from the graph 'point' attrs on purpose: the
+    # graph attribute must win (utils.py loads both; sim reads graph points)
+    raw = np.array([[i, 9.0 + i, 9.0, 10.5] for i in range(4)])
+    np.savetxt(meta / "points.txt", raw, delimiter="\t")
+
+    scene = GraphScene.from_files(str(tmp_path / "meta"), "sceneB")
+    assert scene.num_nodes == 4
+    assert scene.neighbors[0] == [3, 1, 2]  # networkx insertion order
+    np.testing.assert_allclose(scene.positions, np.asarray(points))
+    # geodesics over the real adjacency: 2 -> 3 via 0
+    assert scene.shortest_path_steps(2, 3) == 2
+    # edge directions from real coordinates: 0->1 is +x (0 deg), 0->2 +z (90)
+    assert scene.edge_direction(0, 1) == 0
+    assert scene.edge_direction(0, 2) == 90
+    # round-trip through the device scene builder keeps adjacency order
+    from move2hear_tpu.env.device_env import build_device_scene
+
+    dscene = build_device_scene(scene)
+    assert list(np.asarray(dscene.neighbors[0]))[:3] == [3, 1, 2]
