@@ -63,6 +63,13 @@ class PassiveTrainer(BaseTrainer):
             None if config.TPU.MESH_SHAPE[0] == -1 else config.TPU.MESH_SHAPE[0],
             config.TPU.AXIS_NAME,
         )
+        n_dev = len(self._mesh.devices.flat)
+        if n_dev > 1 and self._batch_size % n_dev != 0:
+            logger.warning(
+                "BATCH_SIZE=%d not divisible by %d devices; pretraining "
+                "on one device", self._batch_size, n_dev,
+            )
+            self._mesh = make_mesh(1, config.TPU.AXIS_NAME)
         self._steps_per_epoch = max(
             1, len(self._sources["train"]) // self._batch_size
         )
@@ -150,6 +157,10 @@ class PassiveTrainer(BaseTrainer):
         best_val = {"val": np.inf, "nonoverlapping_val": np.inf}
         os.makedirs(self.config.CHECKPOINT_FOLDER, exist_ok=True)
 
+        from move2hear_tpu.utils.tb import TensorboardWriter
+
+        tb = TensorboardWriter(self.config.TENSORBOARD_DIR, flush_secs=30)
+
         for epoch in range(self._num_epochs):
             t0 = time.time()
             tr_bin, tr_mono = 0.0, 0.0
@@ -185,6 +196,12 @@ class PassiveTrainer(BaseTrainer):
                 epoch, tr_bin, tr_mono, val_losses["val"][1],
                 val_losses["nonoverlapping_val"][1], time.time() - t0,
             )
+            # per-split epoch scalars (passive_trainer.py:254-255)
+            tb.add_scalar("bin_loss/train", tr_bin, epoch)
+            tb.add_scalar("mono_loss/train", tr_mono, epoch)
+            for split, (vb, vm) in val_losses.items():
+                tb.add_scalar(f"bin_loss/{split}", vb, epoch)
+                tb.add_scalar(f"mono_loss/{split}", vm, epoch)
 
             # best-on-val checkpointing (passive_trainer.py:259-266)
             for split, fname in (
@@ -198,6 +215,7 @@ class PassiveTrainer(BaseTrainer):
                         params, batch_stats, opt_state, epoch,
                     )
 
+        tb.close()
         self._final = (params, batch_stats, opt_state)
 
     def _save(self, path, params, batch_stats, opt_state, epoch):

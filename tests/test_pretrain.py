@@ -56,6 +56,36 @@ def test_passive_trainer_end_to_end(tiny_config):
         if k.endswith("mean")
     ]
     assert any(np.abs(m).max() > 0 for m in means), "BN running stats never updated"
+    # per-epoch TB scalars (passive_trainer.py:254-255)
+    assert any(
+        "tfevents" in f for f in os.listdir(tiny_config.TENSORBOARD_DIR)
+    )
+
+
+def test_passive_trainer_bf16_compute(tmp_path):
+    """bfloat16 compute dtype must train to finite losses (the MXU-friendly
+    mode; params/BN stay f32)."""
+    cfg = get_config(
+        model_dir=str(tmp_path),
+        opts=[
+            "Pretrain.Passive.NUM_EPOCHS", "1",
+            "Pretrain.Passive.BATCH_SIZE", "4",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+            "TPU.COMPUTE_DTYPE", "bfloat16",
+        ],
+    )
+    sources = {
+        k: SyntheticPassiveSource(num_datapoints=4, rir_length=400, seed=i)
+        for i, k in enumerate(("train", "val", "nonoverlapping_val"))
+    }
+    trainer = PassiveTrainer(cfg, sources=sources)
+    trainer.train()
+    params, _, _ = trainer._final
+    import jax
+
+    for leaf in jax.tree.leaves(params):
+        assert np.asarray(leaf).dtype == np.float32  # master params stay f32
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def _flat(tree, prefix=""):
