@@ -60,11 +60,16 @@ def get_distrib_info():
 
 def init_distributed(master_addr: str = "127.0.0.1", master_port: int = 8738):
     """Initialize jax multi-process when launched with world_size > 1;
-    harmless no-op otherwise. Returns (local_rank, world_rank, world_size)."""
+    harmless no-op otherwise. Returns (local_rank, world_rank, world_size).
+
+    torchrun-convention env vars MASTER_ADDR/MASTER_PORT override the config
+    values (the analog of init_distrib_slurm, ddppo_utils.py:117-165)."""
     local_rank, world_rank, world_size = get_distrib_info()
     if world_size > 1:
         import jax
 
+        master_addr = os.environ.get("MASTER_ADDR", master_addr)
+        master_port = int(os.environ.get("MASTER_PORT", master_port))
         jax.distributed.initialize(
             coordinator_address=f"{master_addr}:{master_port}",
             num_processes=world_size,

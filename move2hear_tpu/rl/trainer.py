@@ -674,7 +674,6 @@ class PPOTrainer(BaseRLTrainer):
         from move2hear_tpu.rl.device_rollout import (
             RolloutSepIdx,
             make_collect,
-            make_update_sep_device,
             write_sep_slab,
         )
 
@@ -790,20 +789,23 @@ class PPOTrainer(BaseRLTrainer):
             action_codes, tuple(pol_sensors),
         )
         update_pol_fn = make_update_pol(policy, ppo_cfg, n_envs)
-        update_sep_fn = make_update_sep_device(policy, ppo_cfg, n_envs, gt_norm)
         fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
+        # all cycle sep refits in one program, consuming the slab-cached
+        # frozen-separator outputs (no re-render, no U-Net forwards — see
+        # make_update_sep_from_slabs)
+        from move2hear_tpu.rl.device_rollout import make_update_sep_from_slabs
+
+        update_sep_fn_cycle = make_update_sep_from_slabs(
+            policy, ppo_cfg, n_envs, cycle
+        )
         if fused:
             # the whole cycle — 6x(collect+pol update) + cached sep refit —
             # as ONE jitted program (one dispatch + one fetch per cycle);
             # separator slabs are scan outputs, not a carried buffer
-            from move2hear_tpu.rl.device_rollout import make_update_sep_cached
-
             train_cycle = jax.jit(
                 make_train_cycle(
                     policy, ppo_cfg, dev, collect_fn, update_pol_fn,
-                    make_update_sep_cached(
-                        policy, ppo_cfg, n_envs, gt_norm, cycle
-                    ),
+                    update_sep_fn_cycle,
                     cycle, t_steps, max(1, cfg.NUM_UPDATES),
                     p.use_linear_lr_decay, p.use_linear_clip_decay,
                 ),
@@ -813,41 +815,25 @@ class PPOTrainer(BaseRLTrainer):
             pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
             if pairwise:
                 from move2hear_tpu.rl.device_rollout import (
-                    make_collect_and_update, make_update_sep_cached,
+                    make_collect_and_update,
                 )
 
                 collect_update = jax.jit(
                     make_collect_and_update(collect_fn, update_pol_fn),
                     donate_argnums=(0,),
                 )
-                update_sep_cached = jax.jit(
-                    make_update_sep_cached(
-                        policy, ppo_cfg, n_envs, gt_norm, cycle
-                    ),
-                    donate_argnums=(0,),
-                )
             else:
                 # separate programs measured fastest on the tunneled v5e:
                 # dispatches pipeline asynchronously, only the per-cycle stats
                 # fetch synchronizes, and smaller programs schedule better
-                from move2hear_tpu.rl.device_rollout import (
-                    make_update_sep_cached,
-                )
-
                 collect = jax.jit(collect_fn)
                 # donate the train state: params + both Adam states alias
                 # input->output buffers (frozen separator subtrees are
                 # pass-through), saving ~0.5 GB of HBM copies per update
                 update_pol = jax.jit(update_pol_fn, donate_argnums=(0,))
-                # all cycle sep refits in one program with the frozen
-                # separator forward hoisted (see make_update_sep_cached)
-                update_sep_cached = jax.jit(
-                    make_update_sep_cached(
-                        policy, ppo_cfg, n_envs, gt_norm, cycle
-                    ),
-                    donate_argnums=(0,),
-                )
-            banks = (dev.wav_bank, dev.rir_bank)
+            update_sep_cached = jax.jit(
+                update_sep_fn_cycle, donate_argnums=(0,)
+            )
         sep_buf = RolloutSepIdx.create(
             t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
         )
@@ -984,8 +970,7 @@ class PPOTrainer(BaseRLTrainer):
                     else jnp.ones((cycle,), jnp.float32)
                 )
                 state, sep_losses = update_sep_cached(
-                    state, sep_buf, banks,
-                    jax.random.fold_in(cycle_key, 999), sep_lrs,
+                    state, sep_buf, jax.random.fold_in(cycle_key, 999), sep_lrs
                 )
                 # stack the cycle's packed stats on device -> ONE transfer
                 packed = jnp.stack(stats_list)

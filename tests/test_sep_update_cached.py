@@ -36,7 +36,7 @@ def test_cached_sep_update_matches_uncached():
     state = create_agent_state(cfg, variables)
 
     v = bundle.scene.num_nodes
-    buf = RolloutSepIdx(
+    buf = RolloutSepIdx.create(t, n, 2).replace(
         sound_ids=jnp.asarray(rng.integers(0, 4, (t, n, 2)), jnp.int32),
         az_idx=jnp.asarray(rng.integers(0, 4, (t, n)), jnp.int32),
         node=jnp.asarray(rng.integers(0, v, (t, n)), jnp.int32),
@@ -70,3 +70,86 @@ def test_cached_sep_update_matches_uncached():
             jax.tree.leaves(s2.params[keyname]),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_slab_cached_sep_update_matches_render_cached():
+    """make_update_sep_from_slabs (consuming collect-cached pred_mono/gt_mono)
+    must equal make_update_sep_cached (which re-renders + re-runs the frozen
+    separators) — the separators are frozen, so the cache is exact."""
+    from move2hear_tpu.ops.frontend import render_binaural_mixture
+    from move2hear_tpu.rl.device_rollout import make_update_sep_from_slabs
+
+    n, t = 2, 3
+    bundle = build_micro_scene(rows=3, cols=3, num_episodes=4, rir_length=300)
+    dev = build_device_bundle(bundle, with_frames=False)
+    policy = Move2HearPolicy(num_actions=3, hidden_size=32, use_ddppo=True)
+    rng = np.random.default_rng(1)
+    obs = {
+        "rgb": jnp.zeros((n, 128, 128, 3)),
+        "depth": jnp.zeros((n, 128, 128, 1)),
+        "mixed_bin_audio_mag": jnp.zeros((n, 512, 32, 2)),
+        "target_class": jnp.zeros((n, 1), jnp.int32),
+    }
+    variables = policy.init(
+        jax.random.PRNGKey(0), obs, jnp.zeros((n, 32)), jnp.ones((n, 1))
+    )
+    cfg = PPOConfig(ppo_epoch=2, num_mini_batch=1, lr_sep=1e-3)
+    state = create_agent_state(cfg, variables)
+
+    v = bundle.scene.num_nodes
+    buf = RolloutSepIdx.create(t, n, 2)
+    buf = buf.replace(
+        sound_ids=jnp.asarray(rng.integers(0, 4, (t, n, 2)), jnp.int32),
+        az_idx=jnp.asarray(rng.integers(0, 4, (t, n)), jnp.int32),
+        node=jnp.asarray(rng.integers(0, v, (t, n)), jnp.int32),
+        sources=jnp.asarray(rng.integers(0, v, (t, n, 2)), jnp.int32),
+        target_class=jnp.asarray(rng.integers(0, 3, (t, n, 1)), jnp.int32),
+        prev_mem=jnp.asarray(rng.uniform(0, 1, (t, n, 512, 32, 1)), jnp.float32),
+    )
+
+    # fill the slab-cached fields exactly as the collect scan does
+    flat = lambda x: x.reshape((t * n,) + x.shape[2:])
+    mono = dev.wav_bank[flat(buf.sound_ids)]
+    rirs = dev.rir_bank[
+        flat(buf.az_idx)[:, None], flat(buf.node)[:, None], flat(buf.sources)
+    ]
+    rendered = render_binaural_mixture(mono, rirs, gt_mono_mag_norm=1.2)
+    vars_ = {"params": state.params}
+    if state.batch_stats:
+        vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+    pm = policy.apply(
+        vars_,
+        {"mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
+         "target_class": flat(buf.target_class)},
+        method=Move2HearPolicy.get_binSepMasks,
+    )
+    pmono = policy.apply(
+        vars_, pm, rendered.mixed_bin_audio_mag,
+        method=Move2HearPolicy.convert_bin2mono,
+    )
+    gt_mono = rendered.gt_mono_comps[..., 0::2][..., :1]
+    gt_bin = rendered.gt_bin_comps[..., 0::2][..., :2]
+    bin_l1 = jnp.abs(
+        jnp.expm1(rendered.mixed_bin_audio_mag) * pm - gt_bin
+    ).mean(axis=(1, 2, 3))
+    mono_l1 = jnp.abs(pmono - gt_mono).mean(axis=(1, 2, 3))
+    unflat = lambda x: x.reshape((t, n) + x.shape[1:])
+    buf = buf.replace(
+        pred_mono=unflat(pmono), gt_mono=unflat(gt_mono),
+        bin_l1=bin_l1.reshape(t, n), mono_l1=mono_l1.reshape(t, n),
+    )
+
+    key = jax.random.PRNGKey(9)
+    upd_render = make_update_sep_cached(policy, cfg, n, 1.2, n_updates=2)
+    s1, per1 = upd_render(
+        state, buf, (dev.wav_bank, dev.rir_bank), key, jnp.ones((2,))
+    )
+    upd_slab = make_update_sep_from_slabs(policy, cfg, n, n_updates=2)
+    s2, per2 = upd_slab(state, buf, key, jnp.ones((2,)))
+
+    np.testing.assert_allclose(np.asarray(per1), np.asarray(per2), rtol=1e-4, atol=1e-6)
+    for a, b in zip(
+        jax.tree.leaves(s1.params["acoustic_mem"]),
+        jax.tree.leaves(s2.params["acoustic_mem"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
