@@ -247,3 +247,66 @@ def test_eval_routes_to_device_evaluator(tmp_path, bundle):
     assert np.isfinite(agg["mem_l2_last"]["mean"])
     # SI metrics in the aggregate exist only on the device-evaluator path
     assert "mono_si_sdr_last" in agg
+
+
+def test_link_ckpts_cli(tmp_path):
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    for i in range(7):
+        (src / f"ckpt.{i}.pth").write_bytes(b"x")
+    out = subprocess.run(
+        [sys.executable, "scripts/link_ckpts.py", str(src), str(dst),
+         "--every", "3"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr
+    links = sorted(os.listdir(dst))
+    assert links == ["ckpt.0.pth", "ckpt.1.pth", "ckpt.2.pth"]
+    # dense renumbering in source order: 0, 3, 6
+    assert os.readlink(dst / "ckpt.1.pth").endswith("ckpt.3.pth")
+
+
+def test_separation_quality_cli(tmp_path):
+    import pickle
+
+    # host-evaluator layout
+    dump = {
+        ("s", i): {
+            "mono_l2": [0.5, 0.4 + i * 0.1],
+            "mem_l2": [0.6, 0.3],
+            "bin_l2": [0.2, 0.1],
+            "quality": [
+                {"mono": {"si_sdr": 1.0}, "monoFromMem": {"si_sdr": 2.0}},
+                {"mono": {"si_sdr": 3.0 + i}, "monoFromMem": {"si_sdr": 4.0}},
+            ],
+        }
+        for i in range(2)
+    }
+    with open(tmp_path / "eval_metrics_ckpt_0.pkl", "wb") as f:
+        pickle.dump(dump, f)
+    out = subprocess.run(
+        [sys.executable, "scripts/separation_quality.py", str(tmp_path),
+         "--metrics", "si_sdr"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr
+    summary = json.loads(out.stdout)
+    assert summary["mono_si_sdr_last"]["mean"] == 3.5
+    assert summary["mem_l2_last"]["n"] == 2
+
+    # device-evaluator layout
+    dump2 = {0: {"mono_l2": np.ones((3, 4)), "mem_l2": np.zeros((3, 4))}}
+    with open(tmp_path / "eval_metrics_ckpt_1.pkl", "wb") as f:
+        pickle.dump(dump2, f)
+    out2 = subprocess.run(
+        [sys.executable, "scripts/separation_quality.py", str(tmp_path),
+         "--ckpt", "1"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out2.returncode == 0, out2.stderr
+    summary2 = json.loads(out2.stdout)
+    assert summary2["mono_l2_last"]["n"] == 4
