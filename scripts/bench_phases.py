@@ -25,7 +25,8 @@ def main():
     from move2hear_tpu.env.sim import Action
     from move2hear_tpu.models.policy import Move2HearPolicy
     from move2hear_tpu.rl.device_rollout import (
-        RolloutSepIdx, make_collect, make_update_sep_cached, write_sep_slab,
+        RolloutSepIdx, make_collect, make_update_sep_from_slabs,
+        write_sep_slab,
     )
     from move2hear_tpu.rl.ppo import PPOConfig, create_agent_state, make_update_pol
 
@@ -53,7 +54,7 @@ def main():
     update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs))
     # no donation here: the SAME state is reused across timing iterations
     update_sep = jax.jit(
-        make_update_sep_cached(policy, ppo_cfg, n_envs, 1.2, cycle)
+        make_update_sep_from_slabs(policy, ppo_cfg, n_envs, cycle)
     )
 
     rng = np.random.default_rng(0)
@@ -93,10 +94,10 @@ def main():
     ))
 
     lrs = jnp.ones((cycle,), jnp.float32)
+    sep_buf = write_sep_slab(sep_buf, out.sep_slab, 0)
 
     def sep_once():
-        buf = RolloutSepIdx.create(t_steps * cycle, n_envs, 2)
-        s2, losses = update_sep(state, buf, banks, key, lrs)
+        s2, losses = update_sep(state, sep_buf, key, lrs)
         return losses
 
     t_sep = timeit(sep_once)
