@@ -4,9 +4,11 @@ Two kernels where manual fusion beats relying on XLA:
 
 1. ``masked_mix_slice16``: the U-Net / AudioCNN input transform
    ``slice16(log1p(clamp(expm1(mix) * mask, 0)))`` — three transcendentals, a
-   clamp and the 16-way frequency-slice layout permutation fused into one
-   VMEM-resident pass per batch element (one HBM read of mix+mask, one HBM
-   write of the sliced tensor; XLA materializes the pre-permute intermediate).
+   clamp and the frequency->slice sublane split fused into one VMEM-resident
+   pass per (batch, channel) on a lane-friendly (F, T) layout (measured on
+   v5e: 30 vs 35 us at B=14, 31 vs 44 us at B=112 against the XLA-fused jnp
+   composition). The final lane-side moveaxis stays in XLA — Mosaic rejects
+   lane-collapsing shape casts (see the kernel comment).
 
 2. ``overlap_add``: the ISTFT overlap-add with squared-window normalization —
    a scatter-accumulate XLA lowers to a serial chain; here it is a
@@ -81,16 +83,21 @@ def pallas_ok(name: str = "masked_mix_slice16") -> bool:
 # ---------------------------------------------------------------------------
 
 def _masked_mix_slice16_kernel(mix_ref, mask_ref, out_ref):
-    # block: mix/mask (F, T*C) viewed as (F, T, C); out (F//16, T, C*16)
-    f, t, c = mix_ref.shape
+    # block: mix/mask (F, T) for one (batch, channel); out (k, F/k, T).
+    # The kernel works in a channel-major (B, C, F, T) view so F rides the
+    # sublane dim and T the lanes: blocking the natural NHWC layout puts C=2
+    # on the lanes, which pads every block 64x and blows the 16 MB scoped
+    # VMEM budget; and the lane-collapsing reshape (F/k, T, C, k)->(F/k, T,
+    # C*k) is a Mosaic "unsupported shape cast". Splitting the sublane dim
+    # (F)->(k, F/k) IS supported, so the kernel fuses the transcendentals
+    # with that split and leaves the cheap (B, C, k, F/k, T)->(B, F/k, T,
+    # C*k) moveaxis to XLA, which folds it into the consumer's layout.
+    f, t = mix_ref.shape
     k = SLICE_FACTOR
     # exp/log spelled without expm1/log1p (unimplemented in Pallas TC lowering)
     x = (jnp.exp(mix_ref[:]) - 1.0) * mask_ref[:]
     x = jnp.log(1.0 + jnp.maximum(x, 0.0))
-    # slice16: (F, T, C) -> (k, F/k, T, C) -> (F/k, T, C, k) -> (F/k, T, C*k)
-    x = x.reshape(k, f // k, t, c)
-    x = jnp.moveaxis(x, 0, -1)
-    out_ref[:] = x.reshape(f // k, t, c * k)
+    out_ref[:] = x.reshape(k, f // k, t)
 
 
 def masked_mix_slice16(
@@ -144,25 +151,27 @@ _masked_mix_slice16_diff.defvjp(_masked_mix_slice16_fwd, _masked_mix_slice16_bwd
 
 def _masked_mix_slice16_call(mixed_log_mag, mask, interpret):
     b, f, t, c = mixed_log_mag.shape
-    return pl.pallas_call(
+    k = SLICE_FACTOR
+    mix_t = jnp.transpose(mixed_log_mag, (0, 3, 1, 2))  # (B, C, F, T)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2))
+    in_spec = pl.BlockSpec((None, None, f, t), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out5 = pl.pallas_call(
         _masked_mix_slice16_kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((None, f, t, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, f, t, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(b, c),
+        in_specs=[in_spec, in_spec],
         out_specs=pl.BlockSpec(
-            (None, f // SLICE_FACTOR, t, c * SLICE_FACTOR),
-            lambda i: (i, 0, 0, 0),
+            (None, None, k, f // k, t),
+            lambda i, j: (i, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, f // SLICE_FACTOR, t, c * SLICE_FACTOR), mixed_log_mag.dtype
-        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, k, f // k, t),
+                                       mixed_log_mag.dtype),
         interpret=interpret,
-    )(mixed_log_mag, mask)
+    )(mix_t, mask_t)
+    # (B, C, k, F/k, T) -> (B, F/k, T, C, k) -> (B, F/k, T, C*k): channel
+    # order c*k + chunk, matching ops.spec.slice16.
+    return jnp.moveaxis(out5, (1, 2), (3, 4)).reshape(b, f // k, t, c * k)
 
 
 # ---------------------------------------------------------------------------
