@@ -227,13 +227,16 @@ class Move2HearPolicy(nn.Module):
         pred_binSepMasks,
         pred_mono,
         pred_monoFromMem,
+        per_step_entropy: bool = False,
     ):
         """Sequence evaluation for the PPO update: observations values
         (T, N, ...), hidden (N, H), masks (T, N, 1), action (T, N, 1).
-        Returns (values (T, N, 1), log_probs (T, N, 1), entropy scalar,
-        final hidden). NOTE: unlike `act`, separator inputs are NOT
-        stop-gradient-wrapped here, matching evaluate_actions
-        (policy.py:248-265) — they are storage tensors anyway."""
+        Returns (values (T, N, 1), log_probs (T, N, 1), entropy scalar —
+        or (T, N) when `per_step_entropy`, for validity-weighted updates
+        under the preemptive rollout sync — and final hidden). NOTE: unlike
+        `act`, separator inputs are NOT stop-gradient-wrapped here, matching
+        evaluate_actions (policy.py:248-265) — they are storage tensors
+        anyway."""
         t, n = masks.shape[0], masks.shape[1]
         feats, new_hidden = self.pol_net.seq(
             observations, hidden, masks, pred_binSepMasks, pred_mono, pred_monoFromMem
@@ -242,7 +245,10 @@ class Move2HearPolicy(nn.Module):
         dist: Categorical = self.action_dist(feats_flat)
         values = self.critic(feats_flat).reshape(t, n, 1)
         log_probs = dist.log_probs(action.reshape(t * n, 1)).reshape(t, n, 1)
-        entropy = dist.entropy().mean()
+        entropy = dist.entropy()
+        entropy = (
+            entropy.reshape(t, n) if per_step_entropy else entropy.mean()
+        )
         return values, log_probs, entropy, new_hidden
 
 

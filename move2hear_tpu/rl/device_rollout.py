@@ -349,6 +349,61 @@ def make_collect(
     return collect
 
 
+def concat_collect_outputs(
+    prefix: CollectOutput, tail: CollectOutput, cfg: PPOConfig
+) -> CollectOutput:
+    """Join two consecutive collect segments (the DDPPO preemptive-sync
+    split: a prefix of ceil(short_rollout_threshold * T) steps dispatched
+    first, then — if no early stop — the remaining tail) back into one
+    full-length rollout, recomputing GAE/returns over the joined horizon.
+
+    Segment boundaries are exact: the prefix's final forward and the tail's
+    step-0 forward see the same observation and params, so the prefix's last
+    reward (which used its final-forward q) and the tail's step-0 value are
+    the values the unsegmented program would have produced."""
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+    p, t = prefix.rollouts_pol, tail.rollouts_pol
+
+    rewards = cat(p["rewards"], t["rewards"])
+    value_preds = cat(p["value_preds"][:-1], t["value_preds"])
+    masks = cat(p["masks"][:-1], t["masks"])
+    returns = compute_returns(
+        rewards, value_preds, masks, cfg.gamma, cfg.tau, cfg.use_gae
+    )
+    rollouts_pol = {
+        "observations": {
+            k: cat(p["observations"][k][:-1], t["observations"][k])
+            for k in p["observations"]
+        },
+        "hidden": cat(p["hidden"], t["hidden"][1:]),
+        "pred_binSepMasks": cat(p["pred_binSepMasks"], t["pred_binSepMasks"]),
+        "pred_mono": cat(p["pred_mono"], t["pred_mono"]),
+        "prev_pred_monoFromMem": cat(
+            p["prev_pred_monoFromMem"], t["prev_pred_monoFromMem"][1:]
+        ),
+        "rewards": rewards,
+        "value_preds": value_preds,
+        "returns": returns,
+        "action_log_probs": cat(
+            p["action_log_probs"], t["action_log_probs"]
+        ),
+        "actions": cat(p["actions"], t["actions"]),
+        "masks": masks,
+    }
+    return CollectOutput(
+        env_state=tail.env_state,
+        hidden=tail.hidden,
+        masks=tail.masks,
+        prev_mem_masked=tail.prev_mem_masked,
+        rollouts_pol=rollouts_pol,
+        sep_slab={
+            k: cat(prefix.sep_slab[k], tail.sep_slab[k])
+            for k in prefix.sep_slab
+        },
+        stats=cat(prefix.stats, tail.stats),
+    )
+
+
 def make_collect_and_update(collect_fn, update_pol_fn):
     """Fuse one rollout collection with its policy update into a single
     program: the ~1 GB rollout tensors never surface as program outputs, and
@@ -647,6 +702,7 @@ def make_update_sep_from_slabs(
     cfg: PPOConfig,
     num_envs: int,
     n_updates: int,
+    with_validity: bool = False,
 ):
     """All `n_updates` separator refits of a cycle in one program, consuming
     the frozen-separator outputs CACHED BY THE COLLECT SCAN (pred_mono /
@@ -658,7 +714,11 @@ def make_update_sep_from_slabs(
     recompute-every-minibatch loop, ppo.py:179-246): the passive separators
     are frozen and BatchNorm uses running stats, so their outputs over the
     buffer cannot differ from what the rollout computed. Measured: replaces
-    the 0.63 s/cycle hoisted forward with millisecond memory steps."""
+    the 0.63 s/cycle hoisted forward with millisecond memory steps.
+
+    With `with_validity=True` the fn takes an extra `row_weights` ((T_total,)
+    float): rows left stale by preemptive-sync truncation
+    (ppo_trainer.py:769-782) get zero weight in the loss and logging means."""
     _, tx_sep = make_optimizers(cfg)
     sg = jax.lax.stop_gradient
 
@@ -674,9 +734,17 @@ def make_update_sep_from_slabs(
             variables, sg(flat(mb["pred_mono"])), prev,
             method=Move2HearPolicy.get_monoFromMem,
         )
-        return jnp.abs(pred_mem - sg(flat(mb["gt_mono"]))).mean()
+        err = jnp.abs(pred_mem - sg(flat(mb["gt_mono"])))
+        if with_validity:
+            w = jnp.broadcast_to(mb["row_w"][:, None], (t, n)).reshape(t * n)
+            per = err.mean(axis=(1, 2, 3))
+            return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return err.mean()
 
-    def update(state: AgentState, buf: RolloutSepIdx, rng, lr_scales):
+    def update(
+        state: AgentState, buf: RolloutSepIdx, rng, lr_scales,
+        row_weights=None,
+    ):
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
         perms = jnp.concatenate(
             [
@@ -699,6 +767,9 @@ def make_update_sep_from_slabs(
                 "prev_mem": buf.prev_mem[:, idx],
                 "masks": buf.masks[:, idx],
             }
+            if with_validity:
+                assert row_weights is not None
+                mb["row_w"] = row_weights
             loss, grads = jax.value_and_grad(mem_loss)(
                 sep_params, frozen, state.batch_stats, mb
             )
@@ -711,8 +782,13 @@ def make_update_sep_from_slabs(
             scan_body, (sep_params, state.opt_state_sep), (perms, lrs)
         )
         mem_losses = losses.reshape(n_updates, steps_per_update).mean(axis=1)
-        bin_loss = buf.bin_l1.mean()
-        mono_loss = buf.mono_l1.mean()
+        if with_validity:
+            wsum = jnp.maximum(row_weights.sum(), 1.0)
+            bin_loss = (buf.bin_l1.mean(axis=1) * row_weights).sum() / wsum
+            mono_loss = (buf.mono_l1.mean(axis=1) * row_weights).sum() / wsum
+        else:
+            bin_loss = buf.bin_l1.mean()
+            mono_loss = buf.mono_l1.mean()
         per_update = jnp.stack(
             [
                 jnp.broadcast_to(bin_loss, (n_updates,)),

@@ -139,11 +139,32 @@ def _epoch_perms(rng, ppo_epoch, num_envs, num_mini_batch):
     return perms[:, : envs_per * num_mini_batch].reshape(-1, envs_per)
 
 
+def _weighted_normalized_advantages(advantages, w, use_norm, axis_name):
+    """Validity-weighted advantage normalization: mean/var over the `w`-masked
+    elements only — equal to _normalized_advantages on the physically
+    truncated buffer (unbiased n-1 variance, matching torch .std())."""
+    if not use_norm:
+        return advantages
+    w = jnp.broadcast_to(w, advantages.shape)
+    wsum = w.sum()
+    ssum = (advantages * w).sum()
+    if axis_name is not None:
+        wsum = jax.lax.psum(wsum, axis_name)
+        ssum = jax.lax.psum(ssum, axis_name)
+    mean = ssum / jnp.maximum(wsum, 1.0)
+    vsum = (jnp.square(advantages - mean) * w).sum()
+    if axis_name is not None:
+        vsum = jax.lax.psum(vsum, axis_name)
+    var = vsum / jnp.maximum(wsum - 1.0, 1.0)
+    return (advantages - mean) / (jnp.sqrt(var) + EPS_PPO)
+
+
 def make_update_pol(
     policy: Move2HearPolicy,
     cfg: PPOConfig,
     num_envs: int,
     axis_name: Optional[str] = None,
+    with_validity: bool = False,
 ) -> Callable:
     """Build the jitted policy-update function.
 
@@ -151,6 +172,12 @@ def make_update_pol(
     device-resident rollout pytree (see rl/rollout.py) with `returns` already
     computed, and returns (state, (value_loss, action_loss, dist_entropy))
     averaged over all minibatches.
+
+    With `with_validity=True` the fn takes an extra traced `t_valid` scalar:
+    steps >= t_valid (uncollected under the DDPPO preemptive rollout sync,
+    ppo_trainer.py:769-782) get zero weight in every loss/normalization term,
+    so one compiled program serves any truncation length — equal to running
+    the plain update on the physically truncated buffer.
     """
     tx_pol, _ = make_optimizers(cfg)
 
@@ -169,13 +196,13 @@ def make_update_pol(
             mb["pred_mono"],
             mb["pred_monoFromMem"],
             method=Move2HearPolicy.evaluate_actions,
+            per_step_entropy=with_validity,
         )
         ratio = jnp.exp(log_probs - mb["old_log_probs"])
         surr1 = ratio * mb["adv"]
         surr2 = (
             jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param) * mb["adv"]
         )
-        action_loss = -jnp.minimum(surr1, surr2).mean()
 
         if cfg.use_clipped_value_loss:
             clipped = mb["value_preds"] + jnp.clip(
@@ -183,9 +210,19 @@ def make_update_pol(
             )
             vl = jnp.square(values - mb["returns"])
             vl_c = jnp.square(clipped - mb["returns"])
-            value_loss = 0.5 * jnp.maximum(vl, vl_c).mean()
+            value_sq = jnp.maximum(vl, vl_c)
         else:
-            value_loss = 0.5 * jnp.square(mb["returns"] - values).mean()
+            value_sq = jnp.square(mb["returns"] - values)
+
+        if with_validity:
+            w = jnp.broadcast_to(mb["w"], surr1.shape)
+            wsum = jnp.maximum(w.sum(), 1.0)
+            action_loss = -(jnp.minimum(surr1, surr2) * w).sum() / wsum
+            value_loss = 0.5 * (value_sq * w).sum() / wsum
+            entropy = (entropy * w[..., 0]).sum() / wsum
+        else:
+            action_loss = -jnp.minimum(surr1, surr2).mean()
+            value_loss = 0.5 * value_sq.mean()
 
         total = (
             value_loss * cfg.value_loss_coef
@@ -194,13 +231,25 @@ def make_update_pol(
         )
         return total, (value_loss, action_loss, entropy)
 
-    def update(state: AgentState, rollouts, rng, lr_scale=1.0, clip_scale=1.0):
+    def update(
+        state: AgentState, rollouts, rng, lr_scale=1.0, clip_scale=1.0,
+        t_valid=None,
+    ):
         clip_param = cfg.clip_param * clip_scale
         lr = cfg.lr_pol * lr_scale
         adv_all = rollouts["returns"][:-1] - rollouts["value_preds"][:-1]
-        adv_all = _normalized_advantages(
-            adv_all, cfg.use_normalized_advantage, axis_name
-        )
+        if with_validity:
+            assert t_valid is not None
+            w_steps = (
+                jnp.arange(adv_all.shape[0])[:, None, None] < t_valid
+            ).astype(adv_all.dtype)  # (T, 1, 1)
+            adv_all = _weighted_normalized_advantages(
+                adv_all, w_steps, cfg.use_normalized_advantage, axis_name
+            )
+        else:
+            adv_all = _normalized_advantages(
+                adv_all, cfg.use_normalized_advantage, axis_name
+            )
 
         pol_params, frozen = _split(state.params, POL_KEYS)
         perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
@@ -220,6 +269,8 @@ def make_update_pol(
                 "adv": adv_all[:, idx],
                 "old_log_probs": rollouts["action_log_probs"][:, idx],
             }
+            if with_validity:
+                mb["w"] = w_steps
             grads, aux = jax.grad(minibatch_loss, has_aux=True)(
                 pol_params, frozen, state.batch_stats, mb, clip_param
             )
@@ -249,6 +300,7 @@ def make_update_sep(
     num_envs: int,
     gt_mono_mag_norm: float = 0.0,
     axis_name: Optional[str] = None,
+    with_validity: bool = False,
 ) -> Callable:
     """Build the jitted separator-refit function (``ppo.py:179-246``): passive
     separators run frozen; backward touches only the acoustic memory via the
@@ -256,11 +308,22 @@ def make_update_sep(
 
     Spectrograms are re-rendered on device from the stored (sound id, RIR)
     keys (see rl/rollout.py RolloutSep) — identical values to the rollout-time
-    render, for a fraction of the HBM."""
+    render, for a fraction of the HBM.
+
+    With `with_validity=True` the fn takes an extra `row_weights` ((T_total,)
+    float) marking which buffer rows hold steps collected this cycle — rows
+    left stale by preemptive-sync truncation (ppo_trainer.py:769-782) get
+    zero weight in the loss and the logging means."""
     from move2hear_tpu.ops.frontend import render_binaural_mixture
 
     _, tx_sep = make_optimizers(cfg)
     sg = jax.lax.stop_gradient
+
+    def _wmean(x, w_flat):
+        """Weighted mean over samples of per-sample means (equal sample sizes
+        make this equal to the plain mean over valid elements)."""
+        per = jnp.abs(x).mean(axis=tuple(range(1, x.ndim)))
+        return (per * w_flat).sum() / jnp.maximum(w_flat.sum(), 1.0)
 
     def minibatch_loss(sep_params, frozen, batch_stats, bank, mb):
         params = {**frozen, **sep_params}
@@ -308,15 +371,28 @@ def make_update_sep(
         )
 
         gt_mono_mag = sg(rendered.gt_mono_comps[..., 0::2][..., :1])
-        monoFromMem_loss = jnp.abs(pred_monoFromMem - gt_mono_mag).mean()
-        mono_loss = jnp.abs(pred_mono - gt_mono_mag).mean()
-        gt_bin_mag = sg(rendered.gt_bin_comps[..., 0::2][..., :2])
-        pred_bin = jnp.expm1(mix) * pred_binSepMasks
-        bin_loss = jnp.abs(pred_bin - gt_bin_mag).mean()
+        if with_validity:
+            t_rows, n_cols = mb["masks"].shape[0], mb["masks"].shape[1]
+            w_flat = jnp.broadcast_to(
+                mb["row_w"][:, None], (t_rows, n_cols)
+            ).reshape(t_rows * n_cols)
+            monoFromMem_loss = _wmean(pred_monoFromMem - gt_mono_mag, w_flat)
+            mono_loss = _wmean(pred_mono - gt_mono_mag, w_flat)
+            gt_bin_mag = sg(rendered.gt_bin_comps[..., 0::2][..., :2])
+            pred_bin = jnp.expm1(mix) * pred_binSepMasks
+            bin_loss = _wmean(pred_bin - gt_bin_mag, w_flat)
+        else:
+            monoFromMem_loss = jnp.abs(pred_monoFromMem - gt_mono_mag).mean()
+            mono_loss = jnp.abs(pred_mono - gt_mono_mag).mean()
+            gt_bin_mag = sg(rendered.gt_bin_comps[..., 0::2][..., :2])
+            pred_bin = jnp.expm1(mix) * pred_binSepMasks
+            bin_loss = jnp.abs(pred_bin - gt_bin_mag).mean()
 
         return monoFromMem_loss, (bin_loss, mono_loss, monoFromMem_loss)
 
-    def update(state: AgentState, rollouts, bank, rng, lr_scale=1.0):
+    def update(
+        state: AgentState, rollouts, bank, rng, lr_scale=1.0, row_weights=None,
+    ):
         lr = cfg.lr_sep * lr_scale
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
         perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
@@ -330,6 +406,9 @@ def make_update_sep(
                 "prev_pred_monoFromMem": rollouts["prev_pred_monoFromMem"][:-1, idx],
                 "masks": rollouts["masks"][:-1, idx],
             }
+            if with_validity:
+                assert row_weights is not None
+                mb["row_w"] = row_weights
             grads, aux = jax.grad(minibatch_loss, has_aux=True)(
                 sep_params, frozen, state.batch_stats, bank, mb
             )

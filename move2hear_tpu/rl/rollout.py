@@ -194,30 +194,45 @@ def insert_sep(
     )
 
 
+def _get_at(buf, idx):
+    if idx is None:
+        return buf[-1]
+    return jax.lax.dynamic_index_in_dim(buf, idx, axis=0, keepdims=False)
+
+
 @partial(jax.jit, donate_argnums=(0,))
-def after_update_pol(rollouts: RolloutPol) -> RolloutPol:
-    """Roll slot T -> slot 0 (rollout_storage.py:150-157)."""
+def after_update_pol(rollouts: RolloutPol, last=None) -> RolloutPol:
+    """Roll slot `last` (default: T) -> slot 0 (rollout_storage.py:150-157).
+    `last` < T when the rollout was truncated by the preemptive sync — the
+    latest observation/hidden/memory then live in slot `last`, not T."""
     obs = {
-        k: _set_at(v, 0, v[-1]) for k, v in rollouts.observations.items()
+        k: _set_at(v, 0, _get_at(v, last))
+        for k, v in rollouts.observations.items()
     }
     return rollouts.replace(
         observations=obs,
-        hidden=_set_at(rollouts.hidden, 0, rollouts.hidden[-1]),
+        hidden=_set_at(rollouts.hidden, 0, _get_at(rollouts.hidden, last)),
         prev_pred_monoFromMem=_set_at(
-            rollouts.prev_pred_monoFromMem, 0, rollouts.prev_pred_monoFromMem[-1]
+            rollouts.prev_pred_monoFromMem, 0,
+            _get_at(rollouts.prev_pred_monoFromMem, last),
         ),
-        masks=_set_at(rollouts.masks, 0, rollouts.masks[-1]),
+        masks=_set_at(rollouts.masks, 0, _get_at(rollouts.masks, last)),
     )
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def after_update_sep(rollouts: RolloutSep) -> RolloutSep:
+def after_update_sep(rollouts: RolloutSep, last=None) -> RolloutSep:
     return rollouts.replace(
-        sound_ids=_set_at(rollouts.sound_ids, 0, rollouts.sound_ids[-1]),
-        rirs=_set_at(rollouts.rirs, 0, rollouts.rirs[-1]),
-        target_class=_set_at(rollouts.target_class, 0, rollouts.target_class[-1]),
-        prev_pred_monoFromMem=_set_at(
-            rollouts.prev_pred_monoFromMem, 0, rollouts.prev_pred_monoFromMem[-1]
+        sound_ids=_set_at(
+            rollouts.sound_ids, 0, _get_at(rollouts.sound_ids, last)
         ),
-        masks=_set_at(rollouts.masks, 0, rollouts.masks[-1]),
+        rirs=_set_at(rollouts.rirs, 0, _get_at(rollouts.rirs, last)),
+        target_class=_set_at(
+            rollouts.target_class, 0, _get_at(rollouts.target_class, last)
+        ),
+        prev_pred_monoFromMem=_set_at(
+            rollouts.prev_pred_monoFromMem, 0,
+            _get_at(rollouts.prev_pred_monoFromMem, last),
+        ),
+        masks=_set_at(rollouts.masks, 0, _get_at(rollouts.masks, last)),
     )

@@ -304,9 +304,22 @@ class PPOTrainer(BaseRLTrainer):
         state = replicate(mesh, state)
         wav_bank = replicate(mesh, jnp.asarray(self._wav_bank))
 
-        update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs))
+        # When the preemptive rollout sync can fire (ppo_trainer.py:769-782),
+        # rollouts may truncate at any step >= threshold*T: the updates then
+        # take a traced t_valid / row-validity input so ONE compiled program
+        # serves every truncation length (recompiling per length would stall
+        # the trainer for minutes on each new cut).
+        sync_possible = (
+            p.use_ddppo and world_size > 1 and p.short_rollout_threshold < 1.0
+        )
+        update_pol = jax.jit(
+            make_update_pol(policy, ppo_cfg, n_envs, with_validity=sync_possible)
+        )
         update_sep = jax.jit(
-            make_update_sep(policy, ppo_cfg, n_envs, gt_mono_mag_norm=gt_norm)
+            make_update_sep(
+                policy, ppo_cfg, n_envs, gt_mono_mag_norm=gt_norm,
+                with_validity=sync_possible,
+            )
         )
 
         # --- rollout storages -------------------------------------------
@@ -335,17 +348,7 @@ class PPOTrainer(BaseRLTrainer):
                 "rollouts stay unsharded", n_envs, len(mesh.devices.flat),
             )
 
-        from move2hear_tpu.parallel.ddppo import make_num_done_store
-
-        sync = RolloutSyncState(
-            sync_frac=p.sync_frac,
-            short_rollout_threshold=p.short_rollout_threshold,
-            num_steps=t_steps,
-            world_size=world_size,
-            store=make_num_done_store(
-                world_rank, world_size, p.master_addr, p.master_port
-            ),
-        )
+        sync = self._make_rollout_sync(t_steps)
 
         # --- initial forward --------------------------------------------
         masks_now = jnp.ones((n_envs, 1))
@@ -548,28 +551,55 @@ class PPOTrainer(BaseRLTrainer):
                     )
 
                     total_env_steps += n_envs
-                    if sync.should_stop_early(step_t + 1):
+                    t_col = step_t + 1
+                    if sync.should_stop_early(t_col):
                         break
                 sync.mark_done()
 
                 # ---- policy update ----------------------------------------
                 t2 = time.time()
                 next_value = cur_act.value  # value of obs_T with hidden_T
-                returns = compute_returns(
-                    rollouts_pol.rewards,
-                    rollouts_pol.value_preds.at[-1].set(next_value),
-                    rollouts_pol.masks,
-                    ppo_cfg.gamma, ppo_cfg.tau, ppo_cfg.use_gae,
-                )
-                rollouts_pol = rollouts_pol.replace(
-                    returns=returns,
-                    value_preds=rollouts_pol.value_preds.at[-1].set(next_value),
-                )
-                key, sub = jax.random.split(key)
-                state, (value_loss, action_loss, entropy) = update_pol(
-                    state, rollouts_pol.as_dict(), sub
-                )
-                rollouts_pol = after_update_pol(rollouts_pol)
+                if sync_possible:
+                    # bootstrap goes into slot t_col (== T when untruncated);
+                    # steps >= t_col carry zero weight through GAE and the
+                    # losses — equal to updating on the truncated buffer
+                    tv = jnp.int32(t_col)
+                    vp = jax.lax.dynamic_update_index_in_dim(
+                        rollouts_pol.value_preds,
+                        next_value.astype(rollouts_pol.value_preds.dtype),
+                        tv, axis=0,
+                    )
+                    returns = compute_returns(
+                        rollouts_pol.rewards, vp, rollouts_pol.masks,
+                        ppo_cfg.gamma, ppo_cfg.tau, ppo_cfg.use_gae,
+                        t_valid=tv,
+                    )
+                    rollouts_pol = rollouts_pol.replace(
+                        returns=returns, value_preds=vp
+                    )
+                    key, sub = jax.random.split(key)
+                    state, (value_loss, action_loss, entropy) = update_pol(
+                        state, rollouts_pol.as_dict(), sub, 1.0, 1.0, tv
+                    )
+                    rollouts_pol = after_update_pol(rollouts_pol, tv)
+                else:
+                    returns = compute_returns(
+                        rollouts_pol.rewards,
+                        rollouts_pol.value_preds.at[-1].set(next_value),
+                        rollouts_pol.masks,
+                        ppo_cfg.gamma, ppo_cfg.tau, ppo_cfg.use_gae,
+                    )
+                    rollouts_pol = rollouts_pol.replace(
+                        returns=returns,
+                        value_preds=rollouts_pol.value_preds.at[-1].set(
+                            next_value
+                        ),
+                    )
+                    key, sub = jax.random.split(key)
+                    state, (value_loss, action_loss, entropy) = update_pol(
+                        state, rollouts_pol.as_dict(), sub
+                    )
+                    rollouts_pol = after_update_pol(rollouts_pol)
                 pth_time += time.time() - t2
                 update_count += 1
 
@@ -594,12 +624,28 @@ class PPOTrainer(BaseRLTrainer):
 
             # ---- separator refit phase (ppo_trainer.py:979-994) ----------
             t3 = time.time()
-            for _ in range(cycle):
-                key, sub = jax.random.split(key)
-                state, (bin_loss, mono_loss, mem_loss) = update_sep(
-                    state, rollouts_sep.as_dict(), wav_bank, sub
+            if sync_possible:
+                # rows beyond the last slot filled this cycle are stale
+                # (truncated rollouts insert fewer steps) -> zero weight
+                row_w = (
+                    jnp.arange(rollouts_sep.masks.shape[0] - 1) <= sep_step
+                ).astype(jnp.float32)
+                for _ in range(cycle):
+                    key, sub = jax.random.split(key)
+                    state, (bin_loss, mono_loss, mem_loss) = update_sep(
+                        state, rollouts_sep.as_dict(), wav_bank, sub,
+                        1.0, row_w,
+                    )
+                rollouts_sep = after_update_sep(
+                    rollouts_sep, jnp.int32(sep_step)
                 )
-            rollouts_sep = after_update_sep(rollouts_sep)
+            else:
+                for _ in range(cycle):
+                    key, sub = jax.random.split(key)
+                    state, (bin_loss, mono_loss, mem_loss) = update_sep(
+                        state, rollouts_sep.as_dict(), wav_bank, sub
+                    )
+                rollouts_sep = after_update_sep(rollouts_sep)
             pth_time += time.time() - t3
             if world_rank == 0:
                 step_now = update_count * t_steps * n_envs
@@ -637,6 +683,24 @@ class PPOTrainer(BaseRLTrainer):
         self._final_state = state
         self._windows = windows
         envs.close()
+
+    def _make_rollout_sync(self, t_steps) -> RolloutSyncState:
+        """Preemptive rollout sync (ppo_trainer.py:769-782): the num-done
+        store picked from world topology. Tests monkeypatch this to inject a
+        pre-loaded store."""
+        from move2hear_tpu.parallel.ddppo import make_num_done_store
+
+        p = self.config.RL.PPO
+        _, world_rank, world_size = get_distrib_info()
+        return RolloutSyncState(
+            sync_frac=p.sync_frac,
+            short_rollout_threshold=p.short_rollout_threshold,
+            num_steps=t_steps,
+            world_size=world_size,
+            store=make_num_done_store(
+                world_rank, world_size, p.master_addr, p.master_port
+            ),
+        )
 
     def _check_preemption(self, state, update_count) -> bool:
         """On a preemption signal, save the full interrupted train state and
@@ -790,13 +854,31 @@ class PPOTrainer(BaseRLTrainer):
         )
         update_pol_fn = make_update_pol(policy, ppo_cfg, n_envs)
         fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
+        pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
+        # Preemptive rollout sync on the device path (ppo_trainer.py:769-782):
+        # a mid-rollout host decision is impossible inside one jitted scan, so
+        # the rollout is dispatched as a prefix of ceil(threshold*T) steps and
+        # a tail; the num-done store is checked once between them (per-rollout
+        # granularity instead of the reference's per-step — the earliest
+        # possible stop, threshold*T, is identical). Published yamls disable
+        # this (short_rollout_threshold: 1.0).
+        sync_dev = None
+        s0 = t_steps
+        if (
+            p.use_ddppo and world_size > 1
+            and p.short_rollout_threshold < 1.0 and not fused and not pairwise
+        ):
+            s0 = max(1, int(np.ceil(p.short_rollout_threshold * t_steps)))
+            if s0 < t_steps:
+                sync_dev = self._make_rollout_sync(t_steps)
         # all cycle sep refits in one program, consuming the slab-cached
         # frozen-separator outputs (no re-render, no U-Net forwards — see
         # make_update_sep_from_slabs)
         from move2hear_tpu.rl.device_rollout import make_update_sep_from_slabs
 
         update_sep_fn_cycle = make_update_sep_from_slabs(
-            policy, ppo_cfg, n_envs, cycle
+            policy, ppo_cfg, n_envs, cycle,
+            with_validity=sync_dev is not None,
         )
         if fused:
             # the whole cycle — 6x(collect+pol update) + cached sep refit —
@@ -812,7 +894,6 @@ class PPOTrainer(BaseRLTrainer):
                 donate_argnums=(0,),
             )
         else:
-            pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
             if pairwise:
                 from move2hear_tpu.rl.device_rollout import (
                     make_collect_and_update,
@@ -834,6 +915,23 @@ class PPOTrainer(BaseRLTrainer):
             update_sep_cached = jax.jit(
                 update_sep_fn_cycle, donate_argnums=(0,)
             )
+            if sync_dev is not None:
+                from move2hear_tpu.rl.device_rollout import (
+                    concat_collect_outputs,
+                )
+
+                mk = lambda steps: make_collect(
+                    policy, ppo_cfg, dev, steps, max_ep_steps, gt_norm,
+                    sep_rewards, p.extra_reward_multiplier,
+                    cfg.RL.DISTANCE_REWARD_SCALE
+                    if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
+                    action_codes, tuple(pol_sensors),
+                )
+                collect_prefix = jax.jit(mk(s0))
+                collect_tail = jax.jit(mk(t_steps - s0))
+                concat_segments = jax.jit(
+                    lambda a, b: concat_collect_outputs(a, b, ppo_cfg)
+                )
         sep_buf = RolloutSepIdx.create(
             t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
         )
@@ -920,6 +1018,7 @@ class PPOTrainer(BaseRLTrainer):
                 packed, pol_dev, sep_dev = stats, pol_losses, sep_losses
             else:
                 stats_list, pol_l = [], []
+                sep_fill = 0  # rows of sep_buf filled this cycle
                 for sub in range(cycle):
                     rng_c = jax.random.fold_in(cycle_key, 2 * sub)
                     rng_u = jax.random.fold_in(cycle_key, 2 * sub + 1)
@@ -941,10 +1040,31 @@ class PPOTrainer(BaseRLTrainer):
                             rng_c, rng_u, lr_scale, clip_scale,
                         )
                     else:
-                        out = collect(
-                            state.params, state.batch_stats, env_state,
-                            hidden, masks, prev_mem, rng_c,
-                        )
+                        if sync_dev is not None:
+                            sync_dev.new_rollout()
+                            out = collect_prefix(
+                                state.params, state.batch_stats, env_state,
+                                hidden, masks, prev_mem, rng_c,
+                            )
+                            # the stop decision must observe the store AFTER
+                            # our prefix actually ran (other ranks mark done
+                            # as they finish) — one sync point per rollout,
+                            # vs. the reference's per-step store read
+                            jax.block_until_ready(out.stats)
+                            if not sync_dev.should_stop_early(s0):
+                                out_t = collect_tail(
+                                    state.params, state.batch_stats,
+                                    out.env_state, out.hidden, out.masks,
+                                    out.prev_mem_masked,
+                                    jax.random.fold_in(rng_c, 1),
+                                )
+                                out = concat_segments(out, out_t)
+                            sync_dev.mark_done()
+                        else:
+                            out = collect(
+                                state.params, state.batch_stats, env_state,
+                                hidden, masks, prev_mem, rng_c,
+                            )
                         env_state, hidden, masks, prev_mem = (
                             out.env_state, out.hidden, out.masks,
                             out.prev_mem_masked,
@@ -955,9 +1075,11 @@ class PPOTrainer(BaseRLTrainer):
                             clip_scale,
                         )
                         losses = jnp.stack(losses_t)
-                    sep_buf = write_sep_slab(sep_buf, sep_slab, sub * t_steps)
+                    sep_buf = write_sep_slab(sep_buf, sep_slab, sep_fill)
+                    sep_fill += int(sep_slab["masks"].shape[0])
                     pol_l.append(losses)
                     stats_list.append(stats)
+                self._last_sep_fill = sep_fill
                 sep_lrs = (
                     jnp.asarray(
                         [
@@ -969,15 +1091,31 @@ class PPOTrainer(BaseRLTrainer):
                     if p.use_linear_lr_decay
                     else jnp.ones((cycle,), jnp.float32)
                 )
-                state, sep_losses = update_sep_cached(
-                    state, sep_buf, jax.random.fold_in(cycle_key, 999), sep_lrs
-                )
-                # stack the cycle's packed stats on device -> ONE transfer
-                packed = jnp.stack(stats_list)
+                if sync_dev is not None:
+                    row_w = (
+                        jnp.arange(sep_buf.masks.shape[0]) < sep_fill
+                    ).astype(jnp.float32)
+                    state, sep_losses = update_sep_cached(
+                        state, sep_buf,
+                        jax.random.fold_in(cycle_key, 999), sep_lrs, row_w,
+                    )
+                    # truncated rollouts have per-sub stat slabs of differing
+                    # lengths: concatenate on the step axis (one transfer)
+                    packed = jnp.concatenate(stats_list, axis=0)[None]
+                else:
+                    state, sep_losses = update_sep_cached(
+                        state, sep_buf,
+                        jax.random.fold_in(cycle_key, 999), sep_lrs,
+                    )
+                    # stack the cycle's packed stats on device -> ONE transfer
+                    packed = jnp.stack(stats_list)
                 pol_dev, sep_dev = jnp.stack(pol_l), sep_losses
 
             update_count += cycle
-            total_env_steps += cycle * t_steps * n_envs
+            if not fused and sync_dev is not None:
+                total_env_steps += sep_fill * n_envs
+            else:
+                total_env_steps += cycle * t_steps * n_envs
             pending.append(
                 (total_env_steps, update_count, packed, pol_dev, sep_dev)
             )
