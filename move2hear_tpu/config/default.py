@@ -122,6 +122,11 @@ def default_config() -> Config:
     c.TPU.FUSED_CYCLE = False        # fuse entire cycle into one jit (see trainer)
     c.TPU.PAIRWISE_FUSION = False    # fuse collect+update pairs (see trainer)
     c.TPU.MAX_RIR_LENGTH = 16000     # static pad length for RIR tensors
+    c.TPU.SEP_SLAB_DTYPE = "float32"  # or "bfloat16": storage dtype of the big
+    # (T_total, N, 512, 32, 1) separator-refit slabs (prev_mem / pred_mono /
+    # gt_mono) — halves the write+refit HBM traffic at a small numerics delta;
+    # applies to the separate/pairwise device programs (the fused-cycle
+    # program assembles its buffer inside the scan)
 
     c.TASK_CONFIG = default_task_config()
     return c

@@ -71,7 +71,11 @@ class RolloutSepIdx(flax.struct.PyTreeNode):
     mono_l1: jnp.ndarray       # (T, N) logging L1(mono)
 
     @classmethod
-    def create(cls, t_total, n, s, f=512, tt=32):
+    def create(cls, t_total, n, s, f=512, tt=32, slab_dtype=jnp.float32):
+        """`slab_dtype` (TPU.SEP_SLAB_DTYPE) sets the storage dtype of the
+        three big spectrogram slabs; bfloat16 halves write+refit HBM traffic
+        (write_sep_slab casts on write; the refit promotes back to the
+        compute dtype inside the loss)."""
         z = jnp.zeros
         return cls(
             sound_ids=z((t_total, n, s), jnp.int32),
@@ -79,10 +83,10 @@ class RolloutSepIdx(flax.struct.PyTreeNode):
             node=z((t_total, n), jnp.int32),
             sources=z((t_total, n, s), jnp.int32),
             target_class=z((t_total, n, 1), jnp.int32),
-            prev_mem=z((t_total, n, f, tt, 1)),
+            prev_mem=z((t_total, n, f, tt, 1), slab_dtype),
             masks=jnp.ones((t_total, n, 1)),
-            pred_mono=z((t_total, n, f, tt, 1)),
-            gt_mono=z((t_total, n, f, tt, 1)),
+            pred_mono=z((t_total, n, f, tt, 1), slab_dtype),
+            gt_mono=z((t_total, n, f, tt, 1), slab_dtype),
             bin_l1=z((t_total, n)),
             mono_l1=z((t_total, n)),
         )

@@ -933,7 +933,10 @@ class PPOTrainer(BaseRLTrainer):
                     lambda a, b: concat_collect_outputs(a, b, ppo_cfg)
                 )
         sep_buf = RolloutSepIdx.create(
-            t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX
+            t_steps * cycle, n_envs, cfg.NUM_SOUNDS_IN_MIX,
+            slab_dtype=jnp.bfloat16
+            if cfg.TPU.get("SEP_SLAB_DTYPE", "float32") == "bfloat16"
+            else jnp.float32,
         )
 
         hidden = jnp.zeros((n_envs, p.hidden_size))

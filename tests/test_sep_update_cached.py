@@ -153,3 +153,56 @@ def test_slab_cached_sep_update_matches_render_cached():
         jax.tree.leaves(s2.params["acoustic_mem"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bf16_slab_refit_close_to_f32():
+    """TPU.SEP_SLAB_DTYPE=bfloat16 stores the big slabs at half width; the
+    refit must stay numerically close to f32 storage (inputs are the only
+    thing rounded — params/compute stay f32)."""
+    from move2hear_tpu.rl.device_rollout import make_update_sep_from_slabs
+
+    n, t = 2, 4
+    policy = Move2HearPolicy(num_actions=3, hidden_size=32, use_ddppo=True)
+    rng = np.random.default_rng(3)
+    obs = {
+        "rgb": jnp.zeros((n, 128, 128, 3)),
+        "depth": jnp.zeros((n, 128, 128, 1)),
+        "mixed_bin_audio_mag": jnp.zeros((n, 512, 32, 2)),
+        "target_class": jnp.zeros((n, 1), jnp.int32),
+    }
+    variables = policy.init(
+        jax.random.PRNGKey(0), obs, jnp.zeros((n, 32)), jnp.ones((n, 1))
+    )
+    cfg = PPOConfig(ppo_epoch=1, num_mini_batch=1, lr_sep=1e-3)
+    state = create_agent_state(cfg, variables)
+
+    u = lambda *s: jnp.asarray(rng.uniform(0, 1, s), jnp.float32)
+    fields = dict(
+        prev_mem=u(t, n, 512, 32, 1),
+        pred_mono=u(t, n, 512, 32, 1),
+        gt_mono=u(t, n, 512, 32, 1),
+        masks=jnp.ones((t, n, 1)),
+        bin_l1=u(t, n),
+        mono_l1=u(t, n),
+    )
+    buf32 = RolloutSepIdx.create(t, n, 2).replace(**fields)
+    buf16 = RolloutSepIdx.create(t, n, 2, slab_dtype=jnp.bfloat16).replace(
+        **{
+            k: v.astype(jnp.bfloat16)
+            if k in ("prev_mem", "pred_mono", "gt_mono")
+            else v
+            for k, v in fields.items()
+        }
+    )
+    upd = make_update_sep_from_slabs(policy, cfg, n, 1)
+    key = jax.random.PRNGKey(5)
+    lrs = jnp.ones((1,))
+    s32, l32 = upd(state, buf32, key, lrs)
+    s16, l16 = upd(state, buf16, key, lrs)
+    np.testing.assert_allclose(
+        np.asarray(l16), np.asarray(l32), rtol=2e-2, atol=2e-3
+    )
+    for a, b in zip(jax.tree.leaves(s16.params), jax.tree.leaves(s32.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3
+        )
