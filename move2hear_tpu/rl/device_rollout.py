@@ -530,27 +530,41 @@ def make_update_sep_cached(
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
 
         # (n_updates * ppo_epoch * num_mini_batch, envs_per) minibatch table
-        perms = jnp.concatenate(
-            [
-                _epoch_perms(
-                    jax.random.fold_in(rng, u), cfg.ppo_epoch, num_envs,
-                    cfg.num_mini_batch,
-                )
-                for u in range(n_updates)
-            ]
-        )
         steps_per_update = cfg.ppo_epoch * cfg.num_mini_batch
+        perms = (
+            jnp.arange(n_updates * steps_per_update)
+            if cfg.num_mini_batch == 1
+            else jnp.concatenate(
+                [
+                    _epoch_perms(
+                        jax.random.fold_in(rng, u), cfg.ppo_epoch, num_envs,
+                        cfg.num_mini_batch,
+                    )
+                    for u in range(n_updates)
+                ]
+            )
+        )
         lrs = jnp.repeat(lr_scales, steps_per_update) * cfg.lr_sep
+
+        full_batch = cfg.num_mini_batch == 1
 
         def scan_body(carry, inp):
             sep_params, opt_state = carry
             idx, lr = inp
-            mb = {
-                "pred_mono": pred_mono[:, idx],
-                "gt_mono": gt_mono[:, idx],
-                "prev_mem": buf.prev_mem[:, idx],
-                "masks": buf.masks[:, idx],
-            }
+            if full_batch:
+                mb = {
+                    "pred_mono": pred_mono,
+                    "gt_mono": gt_mono,
+                    "prev_mem": buf.prev_mem,
+                    "masks": buf.masks,
+                }
+            else:
+                mb = {
+                    "pred_mono": pred_mono[:, idx],
+                    "gt_mono": gt_mono[:, idx],
+                    "prev_mem": buf.prev_mem[:, idx],
+                    "masks": buf.masks[:, idx],
+                }
             # pre-step loss logged, as the reference does (ppo.py:236-238)
             loss, grads = jax.value_and_grad(mem_loss)(
                 sep_params, frozen, state.batch_stats, mb
@@ -750,27 +764,44 @@ def make_update_sep_from_slabs(
         row_weights=None,
     ):
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
-        perms = jnp.concatenate(
-            [
-                _epoch_perms(
-                    jax.random.fold_in(rng, u), cfg.ppo_epoch, num_envs,
-                    cfg.num_mini_batch,
-                )
-                for u in range(n_updates)
-            ]
-        )
         steps_per_update = cfg.ppo_epoch * cfg.num_mini_batch
+        perms = (
+            jnp.arange(n_updates * steps_per_update)
+            if cfg.num_mini_batch == 1
+            else jnp.concatenate(
+                [
+                    _epoch_perms(
+                        jax.random.fold_in(rng, u), cfg.ppo_epoch, num_envs,
+                        cfg.num_mini_batch,
+                    )
+                    for u in range(n_updates)
+                ]
+            )
+        )
         lrs = jnp.repeat(lr_scales, steps_per_update) * cfg.lr_sep
+
+        full_batch = cfg.num_mini_batch == 1
 
         def scan_body(carry, inp):
             sep_params, opt_state = carry
             idx, lr = inp
-            mb = {
-                "pred_mono": buf.pred_mono[:, idx],
-                "gt_mono": buf.gt_mono[:, idx],
-                "prev_mem": buf.prev_mem[:, idx],
-                "masks": buf.masks[:, idx],
-            }
+            if full_batch:
+                # num_mini_batch == 1: the permuted gather of the whole slab
+                # is a no-op on the batch-mean gradient — skip it (measured
+                # the dominant cost of the refit; see scripts/cost_analysis.py)
+                mb = {
+                    "pred_mono": buf.pred_mono,
+                    "gt_mono": buf.gt_mono,
+                    "prev_mem": buf.prev_mem,
+                    "masks": buf.masks,
+                }
+            else:
+                mb = {
+                    "pred_mono": buf.pred_mono[:, idx],
+                    "gt_mono": buf.gt_mono[:, idx],
+                    "prev_mem": buf.prev_mem[:, idx],
+                    "masks": buf.masks[:, idx],
+                }
             if with_validity:
                 assert row_weights is not None
                 mb["row_w"] = row_weights
@@ -872,19 +903,23 @@ def make_update_sep_device(
     def update(state: AgentState, buf: RolloutSepIdx, banks, rng, lr_scale=1.0):
         lr = cfg.lr_sep * lr_scale
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
-        perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+        full_batch = cfg.num_mini_batch == 1
+        perms = (
+            jnp.arange(cfg.ppo_epoch)
+            if full_batch
+            else _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+        )
+        fields = (
+            "sound_ids", "az_idx", "node", "sources", "target_class",
+            "prev_mem", "masks",
+        )
 
         def scan_body(carry, idx):
             sep_params, opt_state = carry
-            mb = {
-                "sound_ids": buf.sound_ids[:, idx],
-                "az_idx": buf.az_idx[:, idx],
-                "node": buf.node[:, idx],
-                "sources": buf.sources[:, idx],
-                "target_class": buf.target_class[:, idx],
-                "prev_mem": buf.prev_mem[:, idx],
-                "masks": buf.masks[:, idx],
-            }
+            if full_batch:
+                mb = {k: getattr(buf, k) for k in fields}
+            else:
+                mb = {k: getattr(buf, k)[:, idx] for k in fields}
             grads, aux = jax.grad(minibatch_loss, has_aux=True)(
                 sep_params, frozen, state.batch_stats, banks, mb
             )

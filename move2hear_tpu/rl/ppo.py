@@ -252,23 +252,54 @@ def make_update_pol(
             )
 
         pol_params, frozen = _split(state.params, POL_KEYS)
-        perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+        # num_mini_batch == 1 (the published config): each "minibatch" is ALL
+        # envs permuted — and batch-mean gradients are permutation-invariant,
+        # so the full-batch path skips the permuted gather of the entire
+        # rollout per epoch (the reference pays that shuffle + index_select
+        # every epoch, rollout_storage.py:195-227). Same math, different
+        # float summation order only.
+        full_batch = cfg.num_mini_batch == 1
+        perms = (
+            jnp.arange(cfg.ppo_epoch)
+            if full_batch
+            else _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+        )
 
         def scan_body(carry, idx):
             pol_params, opt_state = carry
-            mb = {
-                "obs": {k: v[:-1, idx] for k, v in rollouts["observations"].items()},
-                "hidden0": rollouts["hidden"][0, idx],
-                "masks": rollouts["masks"][:-1, idx],
-                "actions": rollouts["actions"][:, idx],
-                "pred_binSepMasks": rollouts["pred_binSepMasks"][:, idx],
-                "pred_mono": rollouts["pred_mono"][:, idx],
-                "pred_monoFromMem": rollouts["prev_pred_monoFromMem"][1:, idx],
-                "value_preds": rollouts["value_preds"][:-1, idx],
-                "returns": rollouts["returns"][:-1, idx],
-                "adv": adv_all[:, idx],
-                "old_log_probs": rollouts["action_log_probs"][:, idx],
-            }
+            if full_batch:
+                mb = {
+                    "obs": {
+                        k: v[:-1] for k, v in rollouts["observations"].items()
+                    },
+                    "hidden0": rollouts["hidden"][0],
+                    "masks": rollouts["masks"][:-1],
+                    "actions": rollouts["actions"],
+                    "pred_binSepMasks": rollouts["pred_binSepMasks"],
+                    "pred_mono": rollouts["pred_mono"],
+                    "pred_monoFromMem": rollouts["prev_pred_monoFromMem"][1:],
+                    "value_preds": rollouts["value_preds"][:-1],
+                    "returns": rollouts["returns"][:-1],
+                    "adv": adv_all,
+                    "old_log_probs": rollouts["action_log_probs"],
+                }
+            else:
+                mb = {
+                    "obs": {
+                        k: v[:-1, idx]
+                        for k, v in rollouts["observations"].items()
+                    },
+                    "hidden0": rollouts["hidden"][0, idx],
+                    "masks": rollouts["masks"][:-1, idx],
+                    "actions": rollouts["actions"][:, idx],
+                    "pred_binSepMasks": rollouts["pred_binSepMasks"][:, idx],
+                    "pred_mono": rollouts["pred_mono"][:, idx],
+                    "pred_monoFromMem": rollouts["prev_pred_monoFromMem"][1:, idx],
+                    "value_preds": rollouts["value_preds"][:-1, idx],
+                    "returns": rollouts["returns"][:-1, idx],
+                    "adv": adv_all[:, idx],
+                    "old_log_probs": rollouts["action_log_probs"][:, idx],
+                }
             if with_validity:
                 mb["w"] = w_steps
             grads, aux = jax.grad(minibatch_loss, has_aux=True)(
@@ -395,17 +426,32 @@ def make_update_sep(
     ):
         lr = cfg.lr_sep * lr_scale
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
-        perms = _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+        # full-batch fast path when num_mini_batch == 1 (see make_update_pol)
+        full_batch = cfg.num_mini_batch == 1
+        perms = (
+            jnp.arange(cfg.ppo_epoch)
+            if full_batch
+            else _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
+        )
 
         def scan_body(carry, idx):
             sep_params, opt_state = carry
-            mb = {
-                "sound_ids": rollouts["sound_ids"][:-1, idx],
-                "rirs": rollouts["rirs"][:-1, idx],
-                "target_class": rollouts["target_class"][:-1, idx],
-                "prev_pred_monoFromMem": rollouts["prev_pred_monoFromMem"][:-1, idx],
-                "masks": rollouts["masks"][:-1, idx],
-            }
+            if full_batch:
+                mb = {
+                    k: rollouts[k][:-1]
+                    for k in (
+                        "sound_ids", "rirs", "target_class",
+                        "prev_pred_monoFromMem", "masks",
+                    )
+                }
+            else:
+                mb = {
+                    k: rollouts[k][:-1, idx]
+                    for k in (
+                        "sound_ids", "rirs", "target_class",
+                        "prev_pred_monoFromMem", "masks",
+                    )
+                }
             if with_validity:
                 assert row_weights is not None
                 mb["row_w"] = row_weights
