@@ -71,7 +71,7 @@ def measure_reference_frontend(seconds: float = 6.0, rir_len: int = 16000):
     return n / (time.time() - t0)  # env-steps/sec on one CPU core
 
 
-def measure_ours(extra_opts=(), num_updates=30):
+def measure_ours(extra_opts=(), num_updates=30, n_envs=14):
     from move2hear_tpu.config import get_config
     from move2hear_tpu.env.micro_scene import build_micro_scene
     from move2hear_tpu.rl.trainer import PPOTrainer
@@ -81,7 +81,7 @@ def measure_ours(extra_opts=(), num_updates=30):
     cfg = get_config(
         model_dir=model_dir,
         opts=[
-            "NUM_PROCESSES", "14",
+            "NUM_PROCESSES", str(n_envs),
             "NUM_UPDATES", str(num_updates),  # cycles of 6; pre-steady excluded
             "CHECKPOINT_INTERVAL", "100000",
             "LOG_INTERVAL", "100000",
@@ -101,7 +101,8 @@ def measure_ours(extra_opts=(), num_updates=30):
         ] + list(extra_opts),
     )
     bundle = build_micro_scene(
-        rows=4, cols=4, num_episodes=64, near_target=True, rir_length=16000
+        rows=4, cols=4, num_episodes=max(64, 2 * n_envs), near_target=True,
+        rir_length=16000,
     )
     trainer = PPOTrainer(cfg, bundle=bundle)
     trainer.train()
@@ -114,6 +115,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--updates", type=int, default=30)
     ap.add_argument(
+        "--envs", type=int, default=14,
+        help="envs per rank (14 = published parity config; larger shows the "
+        "design's batch-scaling headroom)",
+    )
+    ap.add_argument(
         "--opts", nargs="*", default=[],
         help="extra dotted-key config override pairs",
     )
@@ -123,7 +129,7 @@ def main():
     )
     args = ap.parse_args()
 
-    ours = measure_ours(args.opts, args.updates)
+    ours = measure_ours(args.opts, args.updates, args.envs)
     ref_single_core = args.ref or measure_reference_frontend()
     cores = os.cpu_count() or 1
     ref_ceiling = ref_single_core * min(14, cores)

@@ -624,6 +624,7 @@ class PPOTrainer(BaseRLTrainer):
 
             # ---- separator refit phase (ppo_trainer.py:979-994) ----------
             t3 = time.time()
+            self._last_sep_fill = sep_step
             if sync_possible:
                 # rows beyond the last slot filled this cycle are stale
                 # (truncated rollouts insert fewer steps) -> zero weight

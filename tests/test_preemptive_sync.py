@@ -282,3 +282,59 @@ def test_device_trainer_truncates_under_sync(tmp_path, monkeypatch):
     )
     for leaf in jax.tree.leaves(trainer._final_state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_host_trainer_truncates_under_sync(tmp_path, monkeypatch):
+    """Host-path integration: the per-step store check truncates rollouts at
+    threshold*T and the masked update programs consume the truncated buffer
+    (regression for the pre-fix behavior that updated on the stale tail)."""
+    from move2hear_tpu.config import get_config
+    from move2hear_tpu.env.micro_scene import build_micro_scene
+    from move2hear_tpu.parallel.ddppo import RolloutSyncState
+    import move2hear_tpu.rl.trainer as trainer_mod
+
+    t_steps, cycle, threshold = 4, 2, 0.5
+    cfg = get_config(
+        model_dir=str(tmp_path),
+        opts=[
+            "NUM_PROCESSES", "2",
+            "NUM_UPDATES", "2",
+            "CHECKPOINT_INTERVAL", "2",
+            "LOG_INTERVAL", "1",
+            "USE_SYNC_VECENV", "True",
+            "TPU.DEVICE_ENV", "False",
+            "RL.PPO.hidden_size", "32",
+            "RL.PPO.num_steps", str(t_steps),
+            "RL.PPO.num_updates_per_cycle", str(cycle),
+            "RL.PPO.ppo_epoch", "1",
+            "RL.PPO.num_mini_batch", "1",
+            "RL.PPO.use_ddppo", "True",
+            "RL.PPO.short_rollout_threshold", str(threshold),
+            "RL.PPO.sync_frac", "0.5",
+            "RL.PPO.sep_reward_weight", "1.0",
+            "RL.PPO.nav_reward_weight", "0.0",
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
+            "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
+        ],
+    )
+    monkeypatch.setattr(trainer_mod, "get_distrib_info", lambda: (0, 0, 4))
+    monkeypatch.setattr(
+        trainer_mod.PPOTrainer,
+        "_make_rollout_sync",
+        lambda self, t: RolloutSyncState(
+            sync_frac=0.5, short_rollout_threshold=threshold,
+            num_steps=t, world_size=4, store=_AlwaysStopStore(),
+        ),
+    )
+    bundle = build_micro_scene(
+        rows=3, cols=3, num_episodes=8, near_target=True, rir_length=400
+    )
+    trainer = trainer_mod.PPOTrainer(cfg, bundle=bundle)
+    trainer.train()
+
+    s0 = int(np.ceil(threshold * t_steps))
+    assert trainer._last_sep_fill == cycle * s0, (
+        trainer._last_sep_fill, cycle * s0
+    )
+    for leaf in jax.tree.leaves(trainer._final_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
