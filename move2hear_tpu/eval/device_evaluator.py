@@ -269,6 +269,15 @@ def make_device_eval(
     return eval_episodes
 
 
+# (cache_key) -> (bundle_ref, dev, eval_fn): checkpoint-polling eval calls
+# this evaluator once per new ckpt with the same config/bundle — without the
+# cache every call would rebuild the device banks and re-trace a fresh jit
+# closure (jit caches by function identity), paying a full compile per
+# checkpoint (~1 min on remote-compile runtimes). The bundle reference pins
+# object identity so a GC'd bundle can't alias a stale entry.
+_EVAL_PROGRAM_CACHE: Dict = {}
+
+
 def evaluate_checkpoint_device(
     config,
     checkpoint_path: str,
@@ -279,7 +288,11 @@ def evaluate_checkpoint_device(
 ) -> Dict:
     """Batched device evaluation: episodes are assigned round-robin to
     `batch_envs` parallel envs; each jitted call evaluates one full horizon
-    for the whole batch. Aggregates match eval/evaluator.py's dumps."""
+    for the whole batch. Aggregates match eval/evaluator.py's dumps.
+
+    The compiled eval program and device banks are cached across calls (the
+    ckpt-polling workflow evaluates many checkpoints under one config), so
+    only the first checkpoint pays bank upload + compile."""
     import json
     import os
     import pickle
@@ -317,28 +330,39 @@ def evaluate_checkpoint_device(
     )
     n_envs = min(batch_envs, n_episodes)
 
-    policy = Move2HearPolicy(
-        num_actions=len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS),
-        hidden_size=p.hidden_size,
-        extra_rgb=cfg.EXTRA_RGB,
-        extra_depth=cfg.EXTRA_DEPTH,
-        use_ddppo=p.use_ddppo,
-    )
-    dev = de.build_device_bundle(bundle, episodes=episodes)
     action_codes = tuple(
         int(Action[a]) for a in cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS
     )
     max_steps = cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
-
-    eval_fn = jax.jit(
-        make_device_eval(
-            policy, dev, max_steps,
-            cfg.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM,
-            action_codes, p.deterministic_eval,
-            switch_policy=switch, time_thres=p.time_thres_for_pol_switch,
-            compute_waveform_metrics=cfg.COMPUTE_EVAL_METRICS,
-        )
+    gt_norm = cfg.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM
+    cache_key = (
+        id(bundle), tuple(cfg.EPS_SCENES or ()), switch, n_envs,
+        p.hidden_size, cfg.EXTRA_RGB, cfg.EXTRA_DEPTH, p.use_ddppo,
+        max_steps, gt_norm, action_codes, bool(p.deterministic_eval),
+        p.time_thres_for_pol_switch, bool(cfg.COMPUTE_EVAL_METRICS),
     )
+    cached = _EVAL_PROGRAM_CACHE.get(cache_key)
+    if cached is None:
+        policy = Move2HearPolicy(
+            num_actions=len(action_codes),
+            hidden_size=p.hidden_size,
+            extra_rgb=cfg.EXTRA_RGB,
+            extra_depth=cfg.EXTRA_DEPTH,
+            use_ddppo=p.use_ddppo,
+        )
+        dev = de.build_device_bundle(bundle, episodes=episodes)
+        eval_fn = jax.jit(
+            make_device_eval(
+                policy, dev, max_steps, gt_norm,
+                action_codes, p.deterministic_eval,
+                switch_policy=switch,
+                time_thres=p.time_thres_for_pol_switch,
+                compute_waveform_metrics=cfg.COMPUTE_EVAL_METRICS,
+            )
+        )
+        _EVAL_PROGRAM_CACHE[cache_key] = (bundle, dev, eval_fn)
+    else:
+        _, dev, eval_fn = cached
 
     key = jax.random.PRNGKey(cfg.SEED)
     stats_episodes = {}
