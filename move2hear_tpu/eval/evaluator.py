@@ -46,7 +46,22 @@ def _policy_from_config(cfg) -> Move2HearPolicy:
     )
 
 
+# (policy static fields, gt_norm, deterministic) -> jitted step: checkpoint
+# polling calls evaluate_checkpoint per new ckpt; a fresh jit closure per
+# call would recompile every time (jit caches by function identity).
+_STEP_FN_CACHE = {}
+
+
 def _step_fn(policy: Move2HearPolicy, gt_norm: float, deterministic: bool):
+    key = (
+        policy.num_actions, policy.hidden_size, policy.extra_rgb,
+        policy.extra_depth, policy.use_ddppo, str(policy.dtype),
+        float(gt_norm), bool(deterministic),
+    )
+    cached = _STEP_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     @jax.jit
     def step(params, batch_stats, bank, host, hidden, masks, prev_mem_masked, rng):
         variables = {"params": params}
@@ -92,6 +107,7 @@ def _step_fn(policy: Move2HearPolicy, gt_norm: float, deterministic: bool):
         }
         return obs, pred_mono, pred_mem, act, (bin_l2, mono_l2, mem_l2), extras
 
+    _STEP_FN_CACHE[key] = step
     return step
 
 
