@@ -122,6 +122,12 @@ def default_config() -> Config:
     c.TPU.FUSED_CYCLE = False        # fuse entire cycle into one jit (see trainer)
     c.TPU.PAIRWISE_FUSION = False    # fuse collect+update pairs (see trainer)
     c.TPU.MAX_RIR_LENGTH = 16000     # static pad length for RIR tensors
+    c.TPU.PRECOMPUTE_RIR_RFFT = False  # cache rffts of the whole RIR bank
+    # (~2x its HBM). Measured SLOWER on v5e (157 vs 63 ms/rollout): gathering
+    # 14.7 MB of cached spectra per step costs more than recomputing the RIR
+    # FFTs. Kept as an option for topologies where gathers are cheaper. The
+    # per-sound wav rffts + GT mono spectrograms are always precomputed
+    # (tiny, measured 79 -> 63 ms/rollout).
     c.TPU.SEP_SLAB_DTYPE = "float32"  # or "bfloat16": storage dtype of the big
     # (T_total, N, 512, 32, 1) separator-refit slabs (prev_mem / pred_mono /
     # gt_mono) — halves the write+refit HBM traffic at a small numerics delta;

@@ -138,6 +138,45 @@ def build_frame_banks(scene, frame_cache, height=128, width=128):
     return jnp.asarray(rgb), jnp.asarray(depth)
 
 
+def build_wav_rfft_bank(wav_bank: jnp.ndarray, rir_length: int) -> jnp.ndarray:
+    """(num_sounds, NF, 2) real/imag of rfft(mono, nfft) at the linear-conv
+    FFT length — the mono forward FFTs are static per sound, so the render
+    pays only the RIR FFTs per step (ops/frontend.py:
+    render_binaural_mixture_pre). Stored as two float channels: complex64
+    host<->device transfer is unimplemented on some runtimes."""
+    l = wav_bank.shape[-1]
+    n = l + rir_length - 1
+    nfft = 1 << (n - 1).bit_length()
+    f = jnp.fft.rfft(jnp.asarray(wav_bank, jnp.float32), n=nfft, axis=-1)
+    return jnp.stack([f.real, f.imag], axis=-1)
+
+
+def build_rir_rfft_bank(rir_bank: jnp.ndarray, mono_len: int) -> jnp.ndarray:
+    """(4, V, V, NF, 2 ears, 2 re/im) rffts of the whole RIR bank at the
+    linear-conv FFT length — removes the per-step RIR forward FFTs too, at
+    ~2x the raw bank's HBM (TPU.PRECOMPUTE_RIR_RFFT)."""
+    r = rir_bank.shape[-2]
+    n = mono_len + r - 1
+    nfft = 1 << (n - 1).bit_length()
+    f = jnp.fft.rfft(
+        jnp.asarray(rir_bank, jnp.float32), n=nfft, axis=-2
+    )  # (4, V, V, NF, 2)
+    return jnp.stack([f.real, f.imag], axis=-1)
+
+
+def build_gt_mono_bank(wav_bank: jnp.ndarray) -> jnp.ndarray:
+    """(num_sounds, F, T, 2): [...,0] raw (un-normed) GT mono STFT magnitude,
+    [...,1] f16-cast phase — also static per sound (the reference caches the
+    same thing host-side, simulator_train.py:443-467)."""
+    from move2hear_tpu.ops.stft import stft_mag_phase
+
+    mag, phase = stft_mag_phase(
+        jnp.asarray(wav_bank, jnp.float32) * (1.0 / 32768.0)
+    )
+    phase = phase.astype(jnp.float16).astype(jnp.float32)
+    return jnp.stack([mag, phase], axis=-1)
+
+
 class DeviceBundle(NamedTuple):
     scene: DeviceScene
     episodes: DeviceEpisodes
@@ -145,22 +184,41 @@ class DeviceBundle(NamedTuple):
     rir_bank: jnp.ndarray   # (4, V, V, R, 2)
     rgb_bank: Optional[jnp.ndarray]
     depth_bank: Optional[jnp.ndarray]
+    wav_rfft_bank: Optional[jnp.ndarray] = None  # (num_sounds, NF, 2)
+    gt_mono_bank: Optional[jnp.ndarray] = None   # (num_sounds, F, T, 2)
+    rir_rfft_bank: Optional[jnp.ndarray] = None  # (4, V, V, NF, 2, 2)
 
 
 def build_device_bundle(
-    bundle: MicroSceneBundle, episodes=None, with_frames=True
+    bundle: MicroSceneBundle, episodes=None, with_frames=True,
+    precompute_audio=True, precompute_rir_rfft=False,
 ) -> DeviceBundle:
     eps = episodes if episodes is not None else bundle.episodes
     rgb_bank = depth_bank = None
     if with_frames and bundle.frame_cache is not None:
         rgb_bank, depth_bank = build_frame_banks(bundle.scene, bundle.frame_cache)
+    wav_bank = jnp.asarray(bundle.audio_db.mono_bank())
+    rir_bank = build_rir_bank(bundle.scene, bundle.audio_db)
+    wav_rfft_bank = gt_mono_bank = rir_rfft_bank = None
+    if precompute_audio:
+        wav_rfft_bank = build_wav_rfft_bank(
+            wav_bank, bundle.audio_db.rir_length
+        )
+        gt_mono_bank = build_gt_mono_bank(wav_bank)
+        if precompute_rir_rfft:
+            rir_rfft_bank = build_rir_rfft_bank(
+                rir_bank, int(wav_bank.shape[-1])
+            )
     return DeviceBundle(
         scene=build_device_scene(bundle.scene),
         episodes=build_device_episodes(eps, bundle.audio_db, bundle.scene),
-        wav_bank=jnp.asarray(bundle.audio_db.mono_bank()),
-        rir_bank=build_rir_bank(bundle.scene, bundle.audio_db),
+        wav_bank=wav_bank,
+        rir_bank=rir_bank,
         rgb_bank=rgb_bank,
         depth_bank=depth_bank,
+        wav_rfft_bank=wav_rfft_bank,
+        gt_mono_bank=gt_mono_bank,
+        rir_rfft_bank=rir_rfft_bank,
     )
 
 
@@ -274,10 +332,27 @@ def observe(
 
 
 def gather_sensors(bundle: DeviceBundle, obs: DeviceObs):
-    """Materialize raw sensor inputs from the banks: mono wavs, RIRs, frames."""
-    mono = bundle.wav_bank[obs.sound_ids]                    # (N, S, L)
-    rirs = bundle.rir_bank[obs.azimuth_idx[:, None], obs.node[:, None], obs.sources]
-    out = {"mono": mono, "rirs": rirs, "target_class": obs.target_class}
+    """Materialize raw sensor inputs from the banks: mono wavs (or their
+    precomputed rffts + GT mono spectrograms), RIRs, frames."""
+    out = {"target_class": obs.target_class}
+    if bundle.wav_rfft_bank is not None and bundle.gt_mono_bank is not None:
+        out["mono_rfft"] = bundle.wav_rfft_bank[obs.sound_ids]  # (N,S,NF,2)
+        out["gt_mono_raw"] = bundle.gt_mono_bank[obs.sound_ids]
+        out["mono_len"] = int(bundle.wav_bank.shape[-1])
+        if bundle.rir_rfft_bank is not None:
+            out["rir_rfft"] = bundle.rir_rfft_bank[
+                obs.azimuth_idx[:, None], obs.node[:, None], obs.sources
+            ]
+            out["rir_len"] = int(bundle.rir_bank.shape[-2])
+        else:
+            out["rirs"] = bundle.rir_bank[
+                obs.azimuth_idx[:, None], obs.node[:, None], obs.sources
+            ]
+    else:
+        out["mono"] = bundle.wav_bank[obs.sound_ids]             # (N, S, L)
+        out["rirs"] = bundle.rir_bank[
+            obs.azimuth_idx[:, None], obs.node[:, None], obs.sources
+        ]
     if bundle.rgb_bank is not None:
         out["rgb"] = bundle.rgb_bank[obs.node, obs.rot_idx]
     if bundle.depth_bank is not None:

@@ -93,7 +93,6 @@ SI_METRIC_NAMES = [
 
 def make_device_eval(
     policy: Move2HearPolicy,
-    dev: de.DeviceBundle,
     max_episode_steps: int,
     gt_mono_mag_norm: float,
     action_codes: Tuple[int, ...],
@@ -103,7 +102,11 @@ def make_device_eval(
     compute_waveform_metrics: bool = False,
 ):
     """Build a jitted function evaluating one FULL episode horizon for N envs
-    in parallel. Returns per-env stacked metrics."""
+    in parallel. Returns per-env stacked metrics.
+
+    The DeviceBundle is a runtime argument (not a closure capture) so its
+    banks enter the program as parameters instead of HLO literal constants
+    — see rl/device_rollout.py:make_collect."""
     codes = jnp.asarray(action_codes, jnp.int32)
 
     def forward(variables, obs, prev_mem_masked):
@@ -118,7 +121,10 @@ def make_device_eval(
         )
         return pm, mono, mem
 
-    def eval_episodes(params_nav, stats_nav, params_qi, stats_qi, env_state, rng):
+    def eval_episodes(
+        dev: de.DeviceBundle, params_nav, stats_nav, params_qi, stats_qi,
+        env_state, rng,
+    ):
         def vars_of(params, stats):
             return {"params": params, "batch_stats": stats} if stats else {
                 "params": params
@@ -135,10 +141,23 @@ def make_device_eval(
 
             obs_idx = de.observe(dev.episodes, env_state)
             sensors = de.gather_sensors(dev, obs_idx)
-            rendered = render_binaural_mixture(
-                sensors["mono"], sensors["rirs"],
-                gt_mono_mag_norm=gt_mono_mag_norm,
-            )
+            if "mono_rfft" in sensors:
+                from move2hear_tpu.ops.frontend import (
+                    render_binaural_mixture_pre,
+                )
+
+                rendered = render_binaural_mixture_pre(
+                    sensors["mono_rfft"], sensors.get("rirs"),
+                    sensors["gt_mono_raw"], sensors["mono_len"],
+                    gt_mono_mag_norm=gt_mono_mag_norm,
+                    rir_rfft=sensors.get("rir_rfft"),
+                    rir_len=sensors.get("rir_len", 0),
+                )
+            else:
+                rendered = render_binaural_mixture(
+                    sensors["mono"], sensors["rirs"],
+                    gt_mono_mag_norm=gt_mono_mag_norm,
+                )
             obs = {
                 "mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
                 "gt_bin_comps": rendered.gt_bin_comps,
@@ -350,10 +369,15 @@ def evaluate_checkpoint_device(
             extra_depth=cfg.EXTRA_DEPTH,
             use_ddppo=p.use_ddppo,
         )
-        dev = de.build_device_bundle(bundle, episodes=episodes)
+        dev = de.build_device_bundle(
+            bundle, episodes=episodes,
+            precompute_rir_rfft=bool(
+                cfg.TPU.get("PRECOMPUTE_RIR_RFFT", True)
+            ),
+        )
         eval_fn = jax.jit(
             make_device_eval(
-                policy, dev, max_steps, gt_norm,
+                policy, max_steps, gt_norm,
                 action_codes, p.deterministic_eval,
                 switch_policy=switch,
                 time_thres=p.time_thres_for_pol_switch,
@@ -379,7 +403,7 @@ def evaluate_checkpoint_device(
         env_state = de.env_reset_all(dev.scene, dev.episodes, jnp.asarray(order))
         key, sub = jax.random.split(key)
         _, per_env, outs = eval_fn(
-            params_nav, stats_nav, params_qi, stats_qi, env_state, sub
+            dev, params_nav, stats_nav, params_qi, stats_qi, env_state, sub
         )
         per_env = jax.device_get(per_env)
         take = min(n_envs, n_episodes - done_eps)

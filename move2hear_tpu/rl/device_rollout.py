@@ -33,7 +33,10 @@ from move2hear_tpu.env.device_env import (
 )
 from move2hear_tpu.eval.metrics import stft_l2_distance
 from move2hear_tpu.models.policy import ActOutput, Move2HearPolicy
-from move2hear_tpu.ops.frontend import render_binaural_mixture
+from move2hear_tpu.ops.frontend import (
+    render_binaural_mixture,
+    render_binaural_mixture_pre,
+)
 from move2hear_tpu.rl.gae import compute_returns
 from move2hear_tpu.rl.ppo import (
     AgentState,
@@ -129,9 +132,21 @@ def _forward(policy, variables, obs, prev_mem_masked):
 
 
 def _obs_from_sensors(sensors, gt_norm):
-    rendered = render_binaural_mixture(
-        sensors["mono"], sensors["rirs"], gt_mono_mag_norm=gt_norm
-    )
+    if "mono_rfft" in sensors:
+        # precomputed-bank path: per-sound forward FFTs + GT mono specs are
+        # static (and optionally the RIR rffts too), leaving only inverse
+        # FFTs + binaural/mixture STFTs per step
+        rendered = render_binaural_mixture_pre(
+            sensors["mono_rfft"], sensors.get("rirs"),
+            sensors["gt_mono_raw"], sensors["mono_len"],
+            gt_mono_mag_norm=gt_norm,
+            rir_rfft=sensors.get("rir_rfft"),
+            rir_len=sensors.get("rir_len", 0),
+        )
+    else:
+        rendered = render_binaural_mixture(
+            sensors["mono"], sensors["rirs"], gt_mono_mag_norm=gt_norm
+        )
     obs = {
         "mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
         "gt_bin_comps": rendered.gt_bin_comps,
@@ -148,7 +163,6 @@ def _obs_from_sensors(sensors, gt_norm):
 def make_collect(
     policy: Move2HearPolicy,
     cfg: PPOConfig,
-    dev: DeviceBundle,
     t_steps: int,
     max_episode_steps: int,
     gt_mono_mag_norm: float,
@@ -158,7 +172,14 @@ def make_collect(
     action_codes: Tuple[int, ...],
     pol_sensors: Tuple[str, ...],
 ):
-    """Build the jitted full-rollout collector."""
+    """Build the jitted full-rollout collector.
+
+    The DeviceBundle is a runtime ARGUMENT of the returned function, not a
+    closure capture: closed-over dense device arrays lower into the HLO as
+    literal constants, which ships the multi-hundred-MB banks inside every
+    compile request (remote-compile runtimes cap the request size — the
+    rfft'd RIR bank made the collect program exceed it) and bloats compile
+    time everywhere."""
     codes = jnp.asarray(action_codes, jnp.int32)
 
     def q_util(pred_mem, gt_mono_mag):
@@ -167,6 +188,7 @@ def make_collect(
         return -mse / jnp.maximum(pw, 1e-12)
 
     def collect(
+        dev: DeviceBundle,
         params,
         batch_stats,
         env_state: DeviceEnvState,
@@ -413,10 +435,10 @@ def make_collect_and_update(collect_fn, update_pol_fn):
     program: the ~1 GB rollout tensors never surface as program outputs, and
     one dispatch replaces two (each costs a full RTT on tunneled runtimes)."""
 
-    def step(state, env_state, hidden, masks, prev_mem, rng_c, rng_u,
+    def step(dev, state, env_state, hidden, masks, prev_mem, rng_c, rng_u,
              lr_scale=1.0, clip_scale=1.0):
         out = collect_fn(
-            state.params, state.batch_stats, env_state, hidden, masks,
+            dev, state.params, state.batch_stats, env_state, hidden, masks,
             prev_mem, rng_c,
         )
         state, losses = update_pol_fn(
@@ -599,7 +621,6 @@ def make_update_sep_cached(
 def make_train_cycle(
     policy: Move2HearPolicy,
     cfg: PPOConfig,
-    dev: DeviceBundle,
     collect_fn,
     update_pol_fn,
     update_sep_cached_fn,
@@ -618,9 +639,9 @@ def make_train_cycle(
     machinery) rather than a dynamically-updated carry buffer — the first
     fused attempt carried the 1.4 GB buffer and XLA copied it per
     sub-update."""
-    del dev  # refit consumes the slab-cached tensors; no re-render needed
 
     def cycle_fn(
+        dev: DeviceBundle,
         state: AgentState,
         env_state,
         hidden,
@@ -637,8 +658,8 @@ def make_train_cycle(
             rng_c = jax.random.fold_in(rng, 2 * sub)
             rng_u = jax.random.fold_in(rng, 2 * sub + 1)
             out = collect_fn(
-                state.params, state.batch_stats, env_state, hidden, masks,
-                prev_mem, rng_c,
+                dev, state.params, state.batch_stats, env_state, hidden,
+                masks, prev_mem, rng_c,
             )
             idx = update_idx0 + sub
             lr_scale = decay(idx) if use_lr_decay else 1.0

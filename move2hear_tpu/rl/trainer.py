@@ -772,7 +772,10 @@ class PPOTrainer(BaseRLTrainer):
         )
         self.actor_critic = policy
 
-        dev = de.build_device_bundle(bundle)
+        dev = de.build_device_bundle(
+            bundle,
+            precompute_rir_rfft=bool(cfg.TPU.get("PRECOMPUTE_RIR_RFFT", True)),
+        )
         order = de.make_order_table(
             n_envs, len(bundle.episodes), cfg.SEED + world_rank
         )
@@ -847,7 +850,7 @@ class PPOTrainer(BaseRLTrainer):
         from move2hear_tpu.rl.device_rollout import make_train_cycle
 
         collect_fn = make_collect(
-            policy, ppo_cfg, dev, t_steps, max_ep_steps, gt_norm,
+            policy, ppo_cfg, t_steps, max_ep_steps, gt_norm,
             sep_rewards, p.extra_reward_multiplier,
             cfg.RL.DISTANCE_REWARD_SCALE
             if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
@@ -887,12 +890,12 @@ class PPOTrainer(BaseRLTrainer):
             # separator slabs are scan outputs, not a carried buffer
             train_cycle = jax.jit(
                 make_train_cycle(
-                    policy, ppo_cfg, dev, collect_fn, update_pol_fn,
+                    policy, ppo_cfg, collect_fn, update_pol_fn,
                     update_sep_fn_cycle,
                     cycle, t_steps, max(1, cfg.NUM_UPDATES),
                     p.use_linear_lr_decay, p.use_linear_clip_decay,
                 ),
-                donate_argnums=(0,),
+                donate_argnums=(1,),
             )
         else:
             if pairwise:
@@ -902,7 +905,7 @@ class PPOTrainer(BaseRLTrainer):
 
                 collect_update = jax.jit(
                     make_collect_and_update(collect_fn, update_pol_fn),
-                    donate_argnums=(0,),
+                    donate_argnums=(1,),
                 )
             else:
                 # separate programs measured fastest on the tunneled v5e:
@@ -922,7 +925,7 @@ class PPOTrainer(BaseRLTrainer):
                 )
 
                 mk = lambda steps: make_collect(
-                    policy, ppo_cfg, dev, steps, max_ep_steps, gt_norm,
+                    policy, ppo_cfg, steps, max_ep_steps, gt_norm,
                     sep_rewards, p.extra_reward_multiplier,
                     cfg.RL.DISTANCE_REWARD_SCALE
                     if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
@@ -953,6 +956,10 @@ class PPOTrainer(BaseRLTrainer):
         self._mesh = mesh
         self._env_sharded = False
         if n_dev > 1:
+            # the bundle is now a jit ARGUMENT (see make_collect): replicate
+            # its banks over the mesh explicitly (closure constants used to
+            # get this placement implicitly)
+            dev = replicate(mesh, dev)
             if n_envs % n_dev == 0:
                 axis = cfg.TPU.AXIS_NAME
                 env_state = shard_env_batch(mesh, env_state, axis)
@@ -1016,7 +1023,7 @@ class PPOTrainer(BaseRLTrainer):
                     state, env_state, hidden, masks, prev_mem,
                     pol_losses, sep_losses, stats,
                 ) = train_cycle(
-                    state, env_state, hidden, masks, prev_mem,
+                    dev, state, env_state, hidden, masks, prev_mem,
                     cycle_key, jnp.int32(update_count),
                 )
                 packed, pol_dev, sep_dev = stats, pol_losses, sep_losses
@@ -1040,15 +1047,15 @@ class PPOTrainer(BaseRLTrainer):
                             state, env_state, hidden, masks, prev_mem,
                             sep_slab, losses, stats,
                         ) = collect_update(
-                            state, env_state, hidden, masks, prev_mem,
+                            dev, state, env_state, hidden, masks, prev_mem,
                             rng_c, rng_u, lr_scale, clip_scale,
                         )
                     else:
                         if sync_dev is not None:
                             sync_dev.new_rollout()
                             out = collect_prefix(
-                                state.params, state.batch_stats, env_state,
-                                hidden, masks, prev_mem, rng_c,
+                                dev, state.params, state.batch_stats,
+                                env_state, hidden, masks, prev_mem, rng_c,
                             )
                             # the stop decision must observe the store AFTER
                             # our prefix actually ran (other ranks mark done
@@ -1057,7 +1064,7 @@ class PPOTrainer(BaseRLTrainer):
                             jax.block_until_ready(out.stats)
                             if not sync_dev.should_stop_early(s0):
                                 out_t = collect_tail(
-                                    state.params, state.batch_stats,
+                                    dev, state.params, state.batch_stats,
                                     out.env_state, out.hidden, out.masks,
                                     out.prev_mem_masked,
                                     jax.random.fold_in(rng_c, 1),
@@ -1066,8 +1073,8 @@ class PPOTrainer(BaseRLTrainer):
                             sync_dev.mark_done()
                         else:
                             out = collect(
-                                state.params, state.batch_stats, env_state,
-                                hidden, masks, prev_mem, rng_c,
+                                dev, state.params, state.batch_stats,
+                                env_state, hidden, masks, prev_mem, rng_c,
                             )
                         env_state, hidden, masks, prev_mem = (
                             out.env_state, out.hidden, out.masks,

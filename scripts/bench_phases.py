@@ -48,7 +48,7 @@ def main():
 
     pol_sensors = ("mixed_bin_audio_mag", "target_class", "rgb", "depth")
     collect = jax.jit(make_collect(
-        policy, ppo_cfg, dev, t_steps, 20, 1.2, True, 10.0, 0.0, codes,
+        policy, ppo_cfg, t_steps, 20, 1.2, True, 10.0, 0.0, codes,
         pol_sensors,
     ))
     update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs))
@@ -82,10 +82,12 @@ def main():
 
     key = jax.random.PRNGKey(1)
     t_collect = timeit(lambda: collect(
-        state.params, state.batch_stats, env_state, hidden, masks, prev_mem, key
+        dev, state.params, state.batch_stats, env_state, hidden, masks,
+        prev_mem, key,
     ))
     out = collect(
-        state.params, state.batch_stats, env_state, hidden, masks, prev_mem, key
+        dev, state.params, state.batch_stats, env_state, hidden, masks,
+        prev_mem, key,
     )
     jax.block_until_ready(out.stats)
     t_update = timeit(lambda: update_pol(state, out.rollouts_pol, key)[1])

@@ -86,7 +86,7 @@ def main():
 
     pol_sensors = ("mixed_bin_audio_mag", "target_class", "rgb", "depth")
     collect = jax.jit(make_collect(
-        policy, ppo_cfg, dev, t_steps, 20, 1.2, True, 10.0, 0.0, codes,
+        policy, ppo_cfg, t_steps, 20, 1.2, True, 10.0, 0.0, codes,
         pol_sensors,
     ))
     update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs))
@@ -109,13 +109,13 @@ def main():
 
     rows = [
         analyze(
-            "collect(T=20)", collect, state.params, state.batch_stats,
+            "collect(T=20)", collect, dev, state.params, state.batch_stats,
             env_state, hidden, masks, prev_mem, key,
         )
     ]
     out = collect(
-        state.params, state.batch_stats, env_state, hidden, masks, prev_mem,
-        key,
+        dev, state.params, state.batch_stats, env_state, hidden, masks,
+        prev_mem, key,
     )
     rows.append(analyze("update_pol", update_pol, state, out.rollouts_pol, key))
 

@@ -84,9 +84,15 @@ def test_device_rir_and_frame_banks_match_host(setup):
     obs = observe(dev.episodes, state)
     sensors = gather_sensors(dev, obs)
     keys = sim.audio_render_keys()
-    np.testing.assert_allclose(np.asarray(sensors["rirs"][0]), keys["rirs"])
+    # the precomputed-audio path gathers rffts instead of raw wavs/RIRs;
+    # check the underlying banks directly
+    rirs_from_bank = dev.rir_bank[
+        np.asarray(obs.azimuth_idx[0]), np.asarray(obs.node[0]),
+        np.asarray(obs.sources[0]),
+    ]
+    np.testing.assert_allclose(np.asarray(rirs_from_bank), keys["rirs"])
     np.testing.assert_array_equal(
-        np.asarray(sensors["mono"][0]),
+        np.asarray(dev.wav_bank[np.asarray(obs.sound_ids[0])]),
         bundle.audio_db.mono_bank()[keys["sound_ids"]],
     )
     host_obs = sim.get_observations()

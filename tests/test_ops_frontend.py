@@ -92,3 +92,94 @@ def test_frontend_shapes_single_source(rng):
     assert np.asarray(out.mixed_bin_audio_mag).shape == (1, 512, 32, 2)
     assert np.asarray(out.gt_bin_comps).shape == (1, 512, 32, 4)
     assert np.asarray(out.gt_mono_comps).shape == (1, 512, 32, 2)
+
+
+def test_precomputed_render_matches_plain(rng):
+    """render_binaural_mixture_pre (static per-sound rffts + GT mono specs)
+    must reproduce render_binaural_mixture. The only tolerated difference is
+    an occasional off-by-one int16 quantization flip when a convolution
+    sample lands exactly on a rounding boundary (1/32768-scale spectral
+    wobble)."""
+    import jax.numpy as jnp
+
+    from move2hear_tpu.env.device_env import (
+        build_gt_mono_bank,
+        build_wav_rfft_bank,
+    )
+    from move2hear_tpu.ops.frontend import (
+        render_binaural_mixture,
+        render_binaural_mixture_pre,
+    )
+
+    n_sounds, L, R = 5, 4000, 700
+    bank = (rng.standard_normal((n_sounds, L)) * 6000).astype(np.float32)
+    rfft_bank = build_wav_rfft_bank(jnp.asarray(bank), R)
+    gt_bank = build_gt_mono_bank(jnp.asarray(bank))
+
+    b, s = 3, 2
+    ids = rng.integers(0, n_sounds, (b, s))
+    rirs = (rng.standard_normal((b, s, R, 2)) * 0.05).astype(np.float32)
+
+    ref = render_binaural_mixture(
+        jnp.asarray(bank[ids]), jnp.asarray(rirs), gt_mono_mag_norm=1.2
+    )
+    out = render_binaural_mixture_pre(
+        rfft_bank[jnp.asarray(ids)], jnp.asarray(rirs),
+        gt_bank[jnp.asarray(ids)], L, gt_mono_mag_norm=1.2,
+    )
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            atol=2e-3, rtol=1e-3, err_msg=name,
+        )
+    # GT mono comps are built from the same cached values -> exact
+    np.testing.assert_array_equal(
+        np.asarray(out.gt_mono_comps), np.asarray(ref.gt_mono_comps)
+    )
+
+
+def test_precomputed_render_with_rir_rfft_matches_plain(rng):
+    """Full precompute (mono + RIR rffts + GT mono) == plain render."""
+    import jax.numpy as jnp
+
+    from move2hear_tpu.env.device_env import (
+        build_gt_mono_bank,
+        build_rir_rfft_bank,
+        build_wav_rfft_bank,
+    )
+    from move2hear_tpu.ops.frontend import (
+        render_binaural_mixture,
+        render_binaural_mixture_pre,
+    )
+
+    n_sounds, L, R, V = 4, 3000, 500, 3
+    bank = (rng.standard_normal((n_sounds, L)) * 6000).astype(np.float32)
+    rir_bank = (rng.standard_normal((4, V, V, R, 2)) * 0.05).astype(np.float32)
+    rfft_bank = build_wav_rfft_bank(jnp.asarray(bank), R)
+    gt_bank = build_gt_mono_bank(jnp.asarray(bank))
+    rir_f_bank = build_rir_rfft_bank(jnp.asarray(rir_bank), L)
+
+    b, s = 2, 2
+    ids = rng.integers(0, n_sounds, (b, s))
+    az = rng.integers(0, 4, (b,))
+    node = rng.integers(0, V, (b,))
+    srcs = rng.integers(0, V, (b, s))
+    rirs = rir_bank[az[:, None], node[:, None], srcs]
+
+    ref = render_binaural_mixture(
+        jnp.asarray(bank[ids]), jnp.asarray(rirs), gt_mono_mag_norm=1.2
+    )
+    out = render_binaural_mixture_pre(
+        rfft_bank[jnp.asarray(ids)], None, gt_bank[jnp.asarray(ids)], L,
+        gt_mono_mag_norm=1.2,
+        rir_rfft=rir_f_bank[
+            jnp.asarray(az)[:, None], jnp.asarray(node)[:, None],
+            jnp.asarray(srcs),
+        ],
+        rir_len=R,
+    )
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            atol=2e-3, rtol=1e-3, err_msg=name,
+        )
