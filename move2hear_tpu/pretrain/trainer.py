@@ -163,21 +163,25 @@ class PassiveTrainer(BaseTrainer):
 
         for epoch in range(self._num_epochs):
             t0 = time.time()
-            tr_bin, tr_mono = 0.0, 0.0
+            # keep per-step losses on device and fetch ONCE per epoch:
+            # a float() per step is a full round trip that stalls the async
+            # dispatch pipeline (same lever as the RL loop's deferred
+            # packed-stats fetch)
+            step_losses = []
             for _ in range(self._steps_per_epoch):
                 batch = self._sources["train"].sample_batch(rng, self._batch_size)
                 batch = shard_batch(self._mesh, batch)
                 params, batch_stats, opt_state, bin_loss, mono_loss = train_step(
                     params, batch_stats, opt_state, batch
                 )
-                tr_bin += float(bin_loss)
-                tr_mono += float(mono_loss)
-            tr_bin /= self._steps_per_epoch
-            tr_mono /= self._steps_per_epoch
+                step_losses.append((bin_loss, mono_loss))
+            fetched = jax.device_get(step_losses)
+            tr_bin = float(np.mean([b for b, _ in fetched]))
+            tr_mono = float(np.mean([m for _, m in fetched]))
 
             val_losses = {}
             for split in ("val", "nonoverlapping_val"):
-                vb, vm = 0.0, 0.0
+                pend = []
                 n_batches = max(1, len(self._sources[split]) // self._batch_size)
                 for i in range(n_batches):
                     batch = self._sources[split].sample_batch(
@@ -185,10 +189,12 @@ class PassiveTrainer(BaseTrainer):
                         start=i * self._batch_size,
                     )
                     batch = shard_batch(self._mesh, batch)
-                    bin_loss, mono_loss = eval_step(params, batch_stats, batch)
-                    vb += float(bin_loss)
-                    vm += float(mono_loss)
-                val_losses[split] = (vb / n_batches, vm / n_batches)
+                    pend.append(eval_step(params, batch_stats, batch))
+                vals = jax.device_get(pend)
+                val_losses[split] = (
+                    float(np.mean([b for b, _ in vals])),
+                    float(np.mean([m for _, m in vals])),
+                )
 
             logger.info(
                 "epoch %d: train bin %.4f mono %.4f | val mono %.4f | "
