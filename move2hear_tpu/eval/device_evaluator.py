@@ -19,7 +19,6 @@ projections and are included. Mean-centering and mixture downmix follow
 eval_metrics.py:172-199.
 """
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

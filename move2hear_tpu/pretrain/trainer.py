@@ -17,7 +17,6 @@ Registered as trainer "passive"."""
 import logging
 import os
 import time
-from functools import partial
 from typing import Dict, Optional
 
 import jax

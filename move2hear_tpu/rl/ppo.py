@@ -16,7 +16,6 @@ the `axis_name` collectives — the DDPPO equivalent over ICI.
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Optional
 
 import flax.struct

@@ -17,7 +17,7 @@ trace? no — passed as a traced scalar so one compiled insert serves all steps)
 """
 
 from functools import partial
-from typing import Any, Dict
+from typing import Dict
 
 import flax.struct
 import jax

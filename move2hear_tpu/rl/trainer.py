@@ -30,7 +30,6 @@ import logging
 import os
 import time
 from collections import deque
-from functools import partial
 from typing import Dict, Optional
 
 import jax
