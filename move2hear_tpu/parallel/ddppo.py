@@ -83,70 +83,80 @@ def init_distributed(master_addr: str = "127.0.0.1", master_port: int = 8738):
 class NumDoneStore:
     """Counter of ranks that finished their rollout, used by the preemptive
     sync: collection stops early once num_done > sync_frac * world_size and
-    step >= short_rollout_threshold * num_steps (ppo_trainer.py:769-782)."""
+    step >= short_rollout_threshold * num_steps (ppo_trainer.py:769-782).
 
-    def add(self, delta: int) -> int:
+    GENERATION-KEYED: marks are tagged with the rollout's generation number
+    and counted per generation, so no shared reset exists. The reference
+    instead resets a single counter once per update after a synchronizing
+    allreduce (ppo_trainer.py:863); a reset-at-rollout-start scheme (round 2
+    here) let a slow rank truncate marks other ranks had already posted for
+    the CURRENT rollout — pinned by
+    tests/test_preemptive_sync.py::test_file_store_reset_race_two_processes."""
+
+    def add(self, generation: int) -> int:
+        """Mark this rank done for `generation`; return that gen's count."""
         raise NotImplementedError
 
-    def get(self) -> int:
+    def get(self, generation: int) -> int:
         raise NotImplementedError
 
-    def reset(self):
-        raise NotImplementedError
+    def close(self):
+        pass
 
 
 class LocalNumDoneStore(NumDoneStore):
     """Single-process (world_size == 1) store."""
 
     def __init__(self):
-        self._v = 0
+        self._counts = {}
         self._lock = threading.Lock()
 
-    def add(self, delta):
+    def add(self, generation):
         with self._lock:
-            self._v += delta
-            return self._v
+            self._counts[generation] = self._counts.get(generation, 0) + 1
+            return self._counts[generation]
 
-    def get(self):
-        return self._v
-
-    def reset(self):
-        with self._lock:
-            self._v = 0
+    def get(self, generation):
+        return self._counts.get(generation, 0)
 
 
 class FileNumDoneStore(NumDoneStore):
     """Multi-process single-host store backed by an O_APPEND file: each rank
-    appends a byte on done; the count is the file size. Reset truncates."""
+    appends one `{generation}\\n` line on done; a generation's count is its
+    line count. Append-only — no truncation can erase other ranks' marks.
+    Growth is ~8 bytes/rank/rollout (a 100k-update 8-rank run: ~6 MB).
 
-    def __init__(self, path: str):
+    `truncate=True` (rank 0, at construction, before any rollout) clears
+    stale marks from a previous run sharing the path."""
+
+    def __init__(self, path: str, truncate: bool = False):
         self._path = path
-        open(path, "ab").close()
+        if truncate:
+            with open(path, "wb"):
+                pass
+        else:
+            open(path, "ab").close()
 
-    def add(self, delta):
+    def add(self, generation):
         with open(self._path, "ab") as f:
-            f.write(b"x" * delta)
-        return self.get()
+            f.write(f"{int(generation)}\n".encode())
+        return self.get(generation)
 
-    def get(self):
-        return os.path.getsize(self._path)
-
-    def reset(self):
-        with open(self._path, "wb"):
-            pass
+    def get(self, generation):
+        tag = f"{int(generation)}\n".encode()
+        with open(self._path, "rb") as f:
+            return sum(1 for line in f if line == tag)
 
 
 class _KVHandler(socketserver.StreamRequestHandler):
     def handle(self):
         line = self.rfile.readline().strip().decode()
         store = self.server.store  # type: ignore[attr-defined]
-        if line.startswith("ADD"):
-            v = store.add(int(line.split()[1]))
-        elif line == "RESET":
-            store.reset()
-            v = 0
+        op, gen = line.split()
+        if op == "ADD":
+            v = store.add(int(gen))
         else:
-            v = store.get()
+            v = store.get(int(gen))
         self.wfile.write(f"{v}\n".encode())
 
 
@@ -170,14 +180,11 @@ class TCPNumDoneStore(NumDoneStore):
             s.sendall((msg + "\n").encode())
             return int(s.makefile().readline().strip())
 
-    def add(self, delta):
-        return self._rpc(f"ADD {delta}")
+    def add(self, generation):
+        return self._rpc(f"ADD {int(generation)}")
 
-    def get(self):
-        return self._rpc("GET")
-
-    def reset(self):
-        self._rpc("RESET")
+    def get(self, generation):
+        return self._rpc(f"GET {int(generation)}")
 
     def close(self):
         if self._server is not None:
@@ -203,7 +210,8 @@ def make_num_done_store(
         path = os.path.join(
             tempfile.gettempdir(), f"m2h_num_done_{master_port}"
         )
-        return FileNumDoneStore(path)
+        # rank 0 clears stale marks from a previous run before any rollout
+        return FileNumDoneStore(path, truncate=world_rank == 0)
     return TCPNumDoneStore(
         master_addr, master_port + 1, is_master=world_rank == 0
     )
@@ -254,24 +262,29 @@ def load_interrupted_state(job_id) -> Optional[dict]:
 
 @dataclass
 class RolloutSyncState:
-    """Preemptive-sync policy evaluated inside the rollout loop."""
+    """Preemptive-sync policy evaluated inside the rollout loop.
+
+    Each rank advances its OWN generation counter at rollout start — all
+    ranks run the same rollout sequence, so generations stay aligned without
+    any shared reset (see NumDoneStore docstring for the race this fixes)."""
 
     sync_frac: float
     short_rollout_threshold: float
     num_steps: int
     world_size: int
     store: NumDoneStore = field(default_factory=LocalNumDoneStore)
+    generation: int = 0
 
     def should_stop_early(self, step: int) -> bool:
         if self.world_size <= 1:
             return False
         return (
             step >= self.short_rollout_threshold * self.num_steps
-            and self.store.get() > self.sync_frac * self.world_size
+            and self.store.get(self.generation) > self.sync_frac * self.world_size
         )
 
     def mark_done(self):
-        self.store.add(1)
+        self.store.add(self.generation)
 
     def new_rollout(self):
-        self.store.reset()
+        self.generation += 1

@@ -149,24 +149,26 @@ def test_device_cycle_sharded_parity(tmp_path):
 
 def test_num_done_stores(tmp_path):
     for store in (LocalNumDoneStore(), FileNumDoneStore(str(tmp_path / "nd"))):
-        assert store.get() == 0
+        assert store.get(1) == 0
+        store.add(1)
         store.add(1)
         store.add(2)
-        assert store.get() == 3
-        store.reset()
-        assert store.get() == 0
+        assert store.get(1) == 2
+        assert store.get(2) == 1
+        # marks for a new generation never erase older generations' marks
+        store.add(3)
+        assert store.get(1) == 2 and store.get(3) == 1
 
 
 def test_tcp_num_done_store():
     master = TCPNumDoneStore("127.0.0.1", 18765, is_master=True)
     try:
         client = TCPNumDoneStore("127.0.0.1", 18765, is_master=False)
-        assert client.get() == 0
-        client.add(2)
-        master_side = master.get()
-        assert master_side == 2
-        client.reset()
-        assert client.get() == 0
+        assert client.get(5) == 0
+        client.add(5)
+        client.add(5)
+        assert master.get(5) == 2
+        assert client.get(6) == 0
     finally:
         master.close()
 
@@ -175,12 +177,11 @@ def test_make_num_done_store_topology():
     from move2hear_tpu.parallel.ddppo import make_num_done_store
 
     assert isinstance(make_num_done_store(0, 1), LocalNumDoneStore)
-    s = make_num_done_store(1, 4, "127.0.0.1", 9912)
+    s = make_num_done_store(0, 4, "127.0.0.1", 9912)
     assert isinstance(s, FileNumDoneStore)
-    s.reset()
     s.add(2)
-    assert s.get() == 2
-    s.reset()
+    s.add(2)
+    assert s.get(2) == 2
     # multi-host: non-rank-0 gets a TCP client (no server bound)
     t = make_num_done_store(1, 4, "10.0.0.1", 9913)
     assert isinstance(t, TCPNumDoneStore)
