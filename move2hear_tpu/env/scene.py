@@ -52,6 +52,8 @@ class GraphScene:
     def forward_neighbor(self, node: int, orientation: int) -> int:
         """First neighbor (adjacency order) matching the facing direction;
         the node itself if none (the agent bumps into a wall)."""
+        if self._native is not None:
+            return self._native.forward_neighbor(node, orientation)
         for nb in self.neighbors[node]:
             direction = self.edge_direction(node, nb)
             if direction not in CARDINALS:
@@ -150,7 +152,12 @@ class GraphScene:
         for i in range(len(pts)):
             if "point" in graph.nodes[i]:
                 pts[i] = graph.nodes[i]["point"]
-        return cls(scene, pts, neighbors, grid_size=grid_size)
+        out = cls(scene, pts, neighbors, grid_size=grid_size)
+        # file-backed (real Matterport) scenes route BFS/movement through the
+        # C++ walker — the habitat-sim replacement's production call site;
+        # degrades to the numpy path when the toolchain is absent
+        out.attach_native()
+        return out
 
     @classmethod
     def grid(

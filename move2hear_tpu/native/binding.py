@@ -41,12 +41,6 @@ def _load():
     lib.m2h_forward_neighbor.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32
     ]
-    lib.m2h_step_batch.argtypes = [
-        ctypes.c_void_p, ctypes.c_int32,
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-    ]
     lib.m2h_geodesic_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -81,15 +75,6 @@ class NativeGraph:
 
     def forward_neighbor(self, node: int, orientation: int) -> int:
         return int(self._lib.m2h_forward_neighbor(self._handle, node, orientation))
-
-    def step_batch(self, actions, nodes, rotations):
-        """actions/nodes/rotations: int32 arrays of length N; nodes/rotations
-        updated in place with the sim action codes (PAUSE/FWD/L/R)."""
-        actions = np.ascontiguousarray(actions, np.int32)
-        assert nodes.dtype == np.int32 and rotations.dtype == np.int32
-        self._lib.m2h_step_batch(
-            self._handle, len(actions), actions, nodes, rotations
-        )
 
     def geodesic_batch(self, a, b) -> np.ndarray:
         a = np.ascontiguousarray(a, np.int32)

@@ -107,24 +107,6 @@ int32_t m2h_forward_neighbor(void* handle, int32_t node, int32_t orientation) {
   return node;
 }
 
-// Batched env stepping: actions use sim codes (PAUSE=0, FWD=1, L=2, R=3).
-// nodes/rotations are modified in place; returns nothing.
-void m2h_step_batch(void* handle, int32_t n, const int32_t* actions,
-                    int32_t* nodes, int32_t* rotations) {
-  Graph& g = *static_cast<Graph*>(handle);
-  for (int32_t i = 0; i < n; ++i) {
-    int32_t a = actions[i];
-    if (a == 1) {  // MOVE_FORWARD
-      int32_t orientation = ((270 - rotations[i]) % 360 + 360) % 360;
-      nodes[i] = m2h_forward_neighbor(&g, nodes[i], orientation);
-    } else if (a == 2) {  // TURN_LEFT
-      rotations[i] = (rotations[i] + 90) % 360;
-    } else if (a == 3) {  // TURN_RIGHT
-      rotations[i] = ((rotations[i] - 90) % 360 + 360) % 360;
-    }  // PAUSE (0): no-op
-  }
-}
-
 // Batched geodesic distances for (a_i, b_i) pairs.
 void m2h_geodesic_batch(void* handle, int32_t n, const int32_t* a,
                         const int32_t* b, int32_t* out_steps) {

@@ -40,15 +40,50 @@ def test_native_forward_matches_python(pair):
             ), (node, orient)
 
 
-def test_native_step_batch(pair):
+def test_native_geodesic_batch_all_pairs(pair):
+    """geodesic_batch serves build_device_scene's all-pairs dist matrix."""
     scene, ng = pair
-    nodes = np.array([12, 12, 12, 12], np.int32)
-    rots = np.array([0, 0, 0, 0], np.int32)
-    # PAUSE, FWD, LEFT, RIGHT
-    ng.step_batch(np.array([0, 1, 2, 3], np.int32), nodes, rots)
-    assert nodes[0] == 12 and rots[0] == 0
-    assert nodes[1] == scene.forward_neighbor(12, 270)
-    assert rots[2] == 90 and rots[3] == 270
+    v = scene.num_nodes
+    idx = np.arange(v, dtype=np.int32)
+    out = ng.geodesic_batch(np.repeat(idx, v), np.tile(idx, v)).reshape(v, v)
+    for a in range(0, v, 7):
+        for b in range(0, v, 5):
+            assert out[a, b] == scene._bfs(a)[b]
+
+
+def test_from_files_scenes_route_through_native(tmp_path):
+    """GraphScene.from_files attaches the C++ walker (the habitat-sim
+    replacement's production call site) and movement/geodesics match the
+    numpy path."""
+    import pickle
+
+    import networkx as nx
+
+    from _ref_layout import GRID, _grid_graph
+
+    meta = tmp_path / "sceneX"
+    meta.mkdir()
+    g = _grid_graph()
+    rows = []
+    for n in range(GRID * GRID):
+        p_ = g.nodes[n]["point"]
+        rows.append(f"{n}\t{p_[0]}\t{-p_[2]}\t{p_[1] + 1.5}")
+    (meta / "points.txt").write_text("\n".join(rows) + "\n")
+    with open(meta / "graph.pkl", "wb") as f:
+        pickle.dump(g, f)
+
+    scene = GraphScene.from_files(str(tmp_path), "sceneX")
+    assert scene._native is not None
+    py = GraphScene(scene.name, scene.positions, scene.neighbors)
+    assert py._native is None
+    for node in range(scene.num_nodes):
+        for ori in (0, 45, 90, 180, 270):
+            assert scene.forward_neighbor(node, ori) == py.forward_neighbor(
+                node, ori
+            )
+        assert scene.shortest_path_steps(0, node) == py.shortest_path_steps(
+            0, node
+        )
 
 
 def test_scene_attach_native():
