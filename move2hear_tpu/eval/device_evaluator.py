@@ -292,8 +292,16 @@ def make_device_eval(
 # cache every call would rebuild the device banks and re-trace a fresh jit
 # closure (jit caches by function identity), paying a full compile per
 # checkpoint (~1 min on remote-compile runtimes). The bundle reference pins
-# object identity so a GC'd bundle can't alias a stale entry.
+# object identity so a GC'd bundle can't alias a stale entry. Bounded to the
+# single most-recent entry so switching configs can't accumulate device
+# banks in HBM.
 _EVAL_PROGRAM_CACHE: Dict = {}
+
+# default micro-scene bundles keyed by construction args, so bundle=None
+# callers (ckpt polling without file-backed data) hit the program cache on
+# every checkpoint instead of building a fresh bundle — and fresh device
+# banks — per call
+_DEFAULT_BUNDLE_CACHE: Dict = {}
 
 
 def evaluate_checkpoint_device(
@@ -334,14 +342,29 @@ def evaluate_checkpoint_device(
         params_qi, stats_qi = params_nav, stats_nav
 
     if bundle is None:
-        bundle = build_micro_scene(
-            rows=4, cols=4, num_episodes=64,
-            near_target=not switch and p.sep_reward_weight == 1.0,
-            rir_length=cfg.TPU.MAX_RIR_LENGTH,
+        # unheard splits get the disjoint procedural pool (see
+        # eval/evaluator.py for the reference mapping)
+        unheard = "unheard" in cfg.TASK_CONFIG.DATASET.SPLIT.lower()
+        bundle_key = (
+            4, 4, 64, not switch and p.sep_reward_weight == 1.0,
+            cfg.TPU.MAX_RIR_LENGTH, unheard,
         )
+        bundle = _DEFAULT_BUNDLE_CACHE.get(bundle_key)
+        if bundle is None:
+            bundle = build_micro_scene(
+                rows=4, cols=4, num_episodes=64,
+                near_target=bundle_key[3], rir_length=bundle_key[4],
+                unheard_sounds=unheard,
+            )
+            _DEFAULT_BUNDLE_CACHE.clear()
+            _DEFAULT_BUNDLE_CACHE[bundle_key] = bundle
+    # eval episode filters (env_utils.py:683-685, dataset.py:134-160) + the
+    # count clamp of ppo_trainer.py:1058-1078
     episodes = bundle.episodes
     if cfg.EPS_SCENES:
         episodes = episodes.filter_by_scenes(cfg.EPS_SCENES)
+    if cfg.EPS_SCENES_N_IDS:
+        episodes = episodes.filter_by_scenes_n_ids(dict(cfg.EPS_SCENES_N_IDS))
 
     n_episodes = min(
         episode_count or cfg.get("EVAL_EPISODE_COUNT", 1000), len(episodes)
@@ -371,7 +394,7 @@ def evaluate_checkpoint_device(
         dev = de.build_device_bundle(
             bundle, episodes=episodes,
             precompute_rir_rfft=bool(
-                cfg.TPU.get("PRECOMPUTE_RIR_RFFT", True)
+                cfg.TPU.get("PRECOMPUTE_RIR_RFFT", False)
             ),
         )
         eval_fn = jax.jit(
@@ -383,6 +406,7 @@ def evaluate_checkpoint_device(
                 compute_waveform_metrics=cfg.COMPUTE_EVAL_METRICS,
             )
         )
+        _EVAL_PROGRAM_CACHE.clear()  # bound: one compiled program at a time
         _EVAL_PROGRAM_CACHE[cache_key] = (bundle, dev, eval_fn)
     else:
         _, dev, eval_fn = cached
@@ -405,7 +429,20 @@ def evaluate_checkpoint_device(
             dev, params_nav, stats_nav, params_qi, stats_qi, env_state, sub
         )
         per_env = jax.device_get(per_env)
+        outs_h = jax.device_get(
+            {
+                k: outs[k]
+                for k in ("mono_l2", "mem_l2", "bin_l2", "si_mono", "si_mem")
+            }
+        )
+        # only `take` env slots carry distinct episodes — slots past the
+        # clamp repeat earlier episodes (round-robin padding) and are
+        # DROPPED from both dumps, matching the reference's count clamp
+        # (ppo_trainer.py:1058-1078)
         take = min(n_envs, n_episodes - done_eps)
+        si_names = [
+            m for m in cfg.EVAL_METRICS_TO_COMPUTE if m in SI_METRIC_NAMES
+        ] if cfg.COMPUTE_EVAL_METRICS else []
         for i in range(take):
             ep = episodes.episodes[idxs[i]]
             entry = {
@@ -429,10 +466,26 @@ def evaluate_checkpoint_device(
                     entry[f"monoFromMem_{name}_last"] = float(
                         per_env["si_mem_last"][i, j]
                     )
-            stats_episodes[(ep.scene_id, ep.episode_id, batch_idx)] = entry
-        eval_metrics_dump[batch_idx] = jax.device_get(
-            {k: outs[k] for k in ("mono_l2", "mem_l2", "bin_l2")}
-        )
+            stats_episodes[(ep.scene_id, ep.episode_id)] = entry
+
+            # per-episode, PER-STEP dump in the host evaluator's layout
+            # (ppo_trainer.py:1386-1431,1506-1518) so
+            # scripts/separation_quality.py needs no special case
+            ep_metrics = {
+                "mono_l2": [float(x) for x in outs_h["mono_l2"][:, i]],
+                "mem_l2": [float(x) for x in outs_h["mem_l2"][:, i]],
+                "bin_l2": [float(x) for x in outs_h["bin_l2"][:, i]],
+                "quality": [],
+            }
+            if si_names:
+                for t in range(outs_h["si_mono"].shape[0]):
+                    q = {"mono": {}, "monoFromMem": {}}
+                    for m in si_names:
+                        j = SI_METRIC_NAMES.index(m)
+                        q["mono"][m] = float(outs_h["si_mono"][t, i, j])
+                        q["monoFromMem"][m] = float(outs_h["si_mem"][t, i, j])
+                    ep_metrics["quality"].append(q)
+            eval_metrics_dump[(ep.scene_id, ep.episode_id)] = ep_metrics
         done_eps += take
         batch_idx += 1
 

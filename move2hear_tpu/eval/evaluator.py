@@ -135,10 +135,16 @@ def evaluate_checkpoint(
         params_qi, stats_qi = params_nav, stats_nav
 
     if bundle is None:
+        # Unheard presets name a split with a disjoint sound pool
+        # (reference: MONO_DIR repointed to the held-out dir,
+        # configs/tasks/*/valUnheard_*.yaml); the synthetic analog is a
+        # different procedural pool (micro_scene.py:unheard_sounds)
+        unheard = "unheard" in cfg.TASK_CONFIG.DATASET.SPLIT.lower()
         bundle = build_micro_scene(
             rows=4, cols=4, num_episodes=64,
             near_target=not switch and cfg.RL.PPO.sep_reward_weight == 1.0,
             rir_length=cfg.TPU.MAX_RIR_LENGTH,
+            unheard_sounds=unheard,
         )
     # eval scene filters (env_utils.py:683-685, dataset.py:134-160)
     episodes = bundle.episodes

@@ -7,10 +7,18 @@ device env step}, followed by a single extra forward on the final observation
 during collection — the reference instead crosses the host/device boundary
 4+ times per step (ppo_trainer.py:253-478).
 
-Reward semantics match the reference exactly (env_utils.py:690-714):
-  r_t = not_done_t * (q_{t+1} - q_t + bonus_t * extra_mult * q_{t+1}),
-  q = -MSE(memPred, gt_mono)/mean(gt_mono^2), bonus at episode step MAX-2;
-nav path: r_t = geodesic delta * scale.
+Reward semantics match the reference exactly (env_utils.py:690-714 applied
+at ppo_trainer.py:385-405):
+  r_t = not_done_t * (q_{t+1} - q_t)            at ordinary steps,
+  r_t = not_done_t * 2 * extra_mult * q_{t+1}   at episode step MAX-2,
+  q = -MSE(memPred, gt_mono)/mean(gt_mono^2).
+The bonus-step form reproduces the reference's list aliasing: the "extra"
+override_rewards call MUTATES the same rewards list it returns, so
+``np.array(rewards) + np.array(rewards_extra)`` doubles extra_mult*q_next
+and the quality-improvement delta is discarded (ppo_trainer.py:395-405).
+tests/test_rl_core.py::test_reward_override_matches_reference_aliasing
+replays the reference's call sequence to pin this. Nav path: r_t =
+geodesic delta * scale.
 
 The separator-refit buffer stores only *bank indices* per step
 (RolloutSepIdx); update_sep_device re-renders from the banks inside the loss.
@@ -63,6 +71,7 @@ class RolloutSepIdx(flax.struct.PyTreeNode):
 
     sound_ids: jnp.ndarray     # (T, N, S)
     az_idx: jnp.ndarray        # (T, N)
+    scene_idx: jnp.ndarray     # (T, N) scene index into the device banks
     node: jnp.ndarray          # (T, N)
     sources: jnp.ndarray       # (T, N, S)
     target_class: jnp.ndarray  # (T, N, 1)
@@ -83,6 +92,7 @@ class RolloutSepIdx(flax.struct.PyTreeNode):
         return cls(
             sound_ids=z((t_total, n, s), jnp.int32),
             az_idx=z((t_total, n), jnp.int32),
+            scene_idx=z((t_total, n), jnp.int32),
             node=z((t_total, n), jnp.int32),
             sources=z((t_total, n, s), jnp.int32),
             target_class=z((t_total, n, 1), jnp.int32),
@@ -106,6 +116,28 @@ def unpack_stats(packed) -> Dict[str, Any]:
     out = {name: packed[..., i] for i, name in enumerate(STAT_FIELDS)}
     out["probs"] = packed[..., len(STAT_FIELDS):]
     return out
+
+
+def sep_reward(q_now, q_next, not_done, at_bonus, extra_reward_multiplier):
+    """Effective per-step separation reward, matching the reference's
+    observed semantics (env_utils.py:690-714 as invoked at
+    ppo_trainer.py:385-405):
+
+      r = not_done * (q_next - q_now)                 ordinary steps
+      r = not_done * 2 * extra_mult * q_next          at episode step MAX-2
+
+    The bonus-step form reproduces the reference's list aliasing — the
+    "extra" ``override_rewards`` call mutates the same rewards list it
+    returns, so ``np.array(rewards) + np.array(rewards_extra)`` doubles
+    ``extra_mult * q_next`` and discards the quality-improvement delta.
+    Golden-pinned by tests/test_rl_core.py::
+    test_sep_reward_matches_reference_aliasing. Shapes broadcast; all
+    arguments are float arrays except ``at_bonus`` (bool or float)."""
+    bonus = jnp.asarray(at_bonus).astype(jnp.float32)
+    return not_done * (
+        (1.0 - bonus) * (q_next - q_now)
+        + bonus * 2.0 * extra_reward_multiplier * q_next
+    )
 
 
 class CollectOutput(NamedTuple):
@@ -270,6 +302,7 @@ def make_collect(
                 "sep_idx": {
                     "sound_ids": obs_idx.sound_ids,
                     "az_idx": obs_idx.azimuth_idx,
+                    "scene_idx": obs_idx.scene_idx,
                     "node": obs_idx.node,
                     "sources": obs_idx.sources,
                     "target_class": obs_idx.target_class,
@@ -303,12 +336,9 @@ def make_collect(
         q_full = jnp.concatenate([outs["q"], q_T[None]], axis=0)  # (T+1, N)
         if sep_rewards:
             not_done = 1.0 - outs["done"].astype(jnp.float32)
-            q_next = q_full[1:]
-            rewards = not_done * (
-                q_next - q_full[:-1]
-                + outs["at_bonus"].astype(jnp.float32)
-                * extra_reward_multiplier
-                * q_next
+            rewards = sep_reward(
+                q_full[:-1], q_full[1:], not_done, outs["at_bonus"],
+                extra_reward_multiplier,
             )
         else:
             rewards = outs["nav_reward"] * nav_reward_scale
@@ -504,7 +534,8 @@ def make_update_sep_cached(
 
         mono = wav_bank[flat(buf.sound_ids)]
         rirs = rir_bank[
-            flat(buf.az_idx)[:, None], flat(buf.node)[:, None], flat(buf.sources)
+            flat(buf.scene_idx)[:, None], flat(buf.az_idx)[:, None],
+            flat(buf.node)[:, None], flat(buf.sources)
         ]
         rendered = render_binaural_mixture(
             mono, rirs, gt_mono_mag_norm=gt_mono_mag_norm
@@ -688,6 +719,7 @@ def make_train_cycle(
         sep_buf = RolloutSepIdx(
             sound_ids=flat(sep_slabs["sound_ids"]),
             az_idx=flat(sep_slabs["az_idx"]),
+            scene_idx=flat(sep_slabs["scene_idx"]),
             node=flat(sep_slabs["node"]),
             sources=flat(sep_slabs["sources"]),
             target_class=flat(sep_slabs["target_class"]),
@@ -724,6 +756,7 @@ def write_sep_slab(
     return buf.replace(
         sound_ids=upd(buf.sound_ids, slab["sound_ids"]),
         az_idx=upd(buf.az_idx, slab["az_idx"]),
+        scene_idx=upd(buf.scene_idx, slab["scene_idx"]),
         node=upd(buf.node, slab["node"]),
         sources=upd(buf.sources, slab["sources"]),
         target_class=upd(buf.target_class, slab["target_class"]),
@@ -887,8 +920,8 @@ def make_update_sep_device(
         sound_ids = flat(mb["sound_ids"])
         mono = wav_bank[sound_ids]
         rirs = rir_bank[
-            flat(mb["az_idx"])[:, None], flat(mb["node"])[:, None],
-            flat(mb["sources"]),
+            flat(mb["scene_idx"])[:, None], flat(mb["az_idx"])[:, None],
+            flat(mb["node"])[:, None], flat(mb["sources"]),
         ]
         rendered = render_binaural_mixture(
             mono, rirs, gt_mono_mag_norm=gt_mono_mag_norm
@@ -931,8 +964,8 @@ def make_update_sep_device(
             else _epoch_perms(rng, cfg.ppo_epoch, num_envs, cfg.num_mini_batch)
         )
         fields = (
-            "sound_ids", "az_idx", "node", "sources", "target_class",
-            "prev_mem", "masks",
+            "sound_ids", "az_idx", "scene_idx", "node", "sources",
+            "target_class", "prev_mem", "masks",
         )
 
         def scan_body(carry, idx):

@@ -110,19 +110,73 @@ class PPOTrainer(BaseRLTrainer):
     def _make_bundle(self) -> MicroSceneBundle:
         if self._bundle is not None:
             return self._bundle
+        cfg = self.config
+        from move2hear_tpu.env.bundle import (
+            bundle_from_config,
+            has_file_backed_data,
+        )
+
+        if has_file_backed_data(cfg.TASK_CONFIG):
+            # EPS_SCENES restricts the TRAIN scene set (env_utils.py:552-553);
+            # eval-side scene filtering happens in the evaluators
+            scenes = (
+                list(cfg.EPS_SCENES)
+                if cfg.EPS_SCENES
+                and cfg.TASK_CONFIG.DATASET.SPLIT[:5] == "train"
+                else None
+            )
+            self._bundle = bundle_from_config(
+                cfg.TASK_CONFIG, scenes=scenes,
+                max_rir_length=cfg.TPU.MAX_RIR_LENGTH,
+            )
+            return self._bundle
         # Without external data, fall back to the synthetic micro-scene.
         logger.warning("no scene bundle provided; using synthetic micro-scene")
-        near = self.config.RL.PPO.sep_reward_weight == 1.0
-        return build_micro_scene(
+        near = cfg.RL.PPO.sep_reward_weight == 1.0
+        self._bundle = build_micro_scene(
             rows=4, cols=4, num_episodes=64, near_target=near,
-            rir_length=self.config.TPU.MAX_RIR_LENGTH,
+            rir_length=cfg.TPU.MAX_RIR_LENGTH,
         )
+        return self._bundle
 
     def _make_envs(self, world_rank: int, world_size: int):
         bundle = self._make_bundle()
         cfg = self.config
         n = cfg.NUM_PROCESSES
         near = cfg.RL.PPO.sep_reward_weight == 1.0 and cfg.RL.PPO.nav_reward_weight == 0.0
+
+        # episode assignment per env: multi-scene bundles split SCENES
+        # round-robin over the global env set (env_utils.py:556-567, incl.
+        # the scenes >= processes assert and the train-split shuffle);
+        # single-scene bundles split episodes instead (the micro-scene has
+        # one scene but plenty of episodes).
+        scene_names = list(bundle.scenes)
+        total_envs = world_size * n
+        if len(scene_names) > 1:
+            from move2hear_tpu.env.bundle import split_scenes_round_robin
+
+            scene_splits = split_scenes_round_robin(
+                scene_names, total_envs,
+                shuffle=cfg.TASK_CONFIG.DATASET.SPLIT[:5] == "train",
+                seed=cfg.SEED,
+            )
+            per_env_episodes = [
+                bundle.episodes.filter_by_scenes(
+                    scene_splits[world_rank * n + i]
+                )
+                for i in range(n)
+            ]
+        else:
+            per_env_episodes = [
+                bundle.episodes.split_for_rank(
+                    (world_rank * n + i) % max(1, len(bundle.episodes)),
+                    max(1, min(total_envs, len(bundle.episodes))),
+                )
+                if len(bundle.episodes) >= total_envs
+                else bundle.episodes
+                for i in range(n)
+            ]
+
         env_fns = []
         for i in range(n):
             # per-rank, per-env seeds (ppo_trainer.py:605-613)
@@ -135,12 +189,7 @@ class PPOTrainer(BaseRLTrainer):
                     gt_mono_mag_norm=cfg.TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM,
                     possible_actions=tuple(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS),
                     seed=seed,
-                    episodes=bundle.episodes.split_for_rank(
-                        (world_rank * n + i) % max(1, len(bundle.episodes)),
-                        max(1, min(world_size * n, len(bundle.episodes))),
-                    )
-                    if len(bundle.episodes) >= world_size * n
-                    else bundle.episodes,
+                    episodes=per_env_episodes[i],
                 )
             )
         self._wav_bank = bundle.audio_db.mono_bank()
@@ -233,6 +282,21 @@ class PPOTrainer(BaseRLTrainer):
         """Dispatch: gymnax-style fully-on-device rollouts (default) or the
         host-process VectorEnv loop (file-backed scenes / parity runs)."""
         if self.config.TPU.get("DEVICE_ENV", True):
+            bundle = self._make_bundle()
+            from move2hear_tpu.env.device_env import estimate_bank_bytes
+
+            est = estimate_bank_bytes(bundle)
+            budget = int(self.config.TPU.MAX_DEVICE_BANK_BYTES)
+            if est > budget:
+                # honesty gate: the RIR bank is V^2 per scene — big
+                # file-backed scenes don't fit HBM as device banks; use the
+                # host VectorEnv path (the loaders stream RIRs per step)
+                logger.warning(
+                    "device banks would need ~%.2f GiB (> TPU."
+                    "MAX_DEVICE_BANK_BYTES=%.2f GiB); using the host env "
+                    "path", est / 2**30, budget / 2**30,
+                )
+                return self._train_host()
             return self._train_device()
         return self._train_host()
 
@@ -412,12 +476,16 @@ class PPOTrainer(BaseRLTrainer):
 
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
 
-        # one fused on-device reward (env_utils.py:690-714): masked quality
-        # improvement + optional terminal bonus; no per-step host fetch
+        # one fused on-device reward, shared with the device path (see
+        # device_rollout.sep_reward for the reference-aliasing semantics)
+        extra_mult_const = float(p.extra_reward_multiplier)
+        from move2hear_tpu.rl.device_rollout import sep_reward
+
         @jax.jit
-        def reward_fn(q_now, q_next, not_done, extra_mult):
-            r = (q_next - q_now) + q_next * extra_mult
-            return (r * not_done)[:, None]
+        def reward_fn(q_now, q_next, not_done, is_bonus):
+            return sep_reward(
+                q_now, q_next, not_done, is_bonus, extra_mult_const
+            )[:, None]
 
         host_actions = np.asarray(cur_act.action).ravel()
 
@@ -452,14 +520,14 @@ class PPOTrainer(BaseRLTrainer):
 
                     # ---- rewards for THIS step (one-late finalize), on device
                     if sep_rewards:
-                        extra_mult = (
-                            p.extra_reward_multiplier
-                            if int(cur_ep["step"][0, 0]) == max_ep_steps - 2
-                            else 0.0
+                        # bonus keyed on env 0's step, like the reference's
+                        # current_episode_step[0] check (ppo_trainer.py:395)
+                        is_bonus = (
+                            int(cur_ep["step"][0, 0]) == max_ep_steps - 2
                         )
                         rewards_dev = reward_fn(
                             cur_stats["q"], next_stats["q"], masks_next[:, 0],
-                            jnp.float32(extra_mult),
+                            jnp.asarray(is_bonus),
                         )
                     else:
                         rewards_dev = jnp.asarray(
@@ -626,9 +694,12 @@ class PPOTrainer(BaseRLTrainer):
             self._last_sep_fill = sep_step
             if sync_possible:
                 # rows beyond the last slot filled this cycle are stale
-                # (truncated rollouts insert fewer steps) -> zero weight
+                # (truncated rollouts insert fewer steps) -> zero weight;
+                # strict < excludes the boundary row the truncated-buffer
+                # [:-1] semantics drop (it rolls to slot 0 and trains next
+                # cycle), matching the device path's sep_fill mask
                 row_w = (
-                    jnp.arange(rollouts_sep.masks.shape[0] - 1) <= sep_step
+                    jnp.arange(rollouts_sep.masks.shape[0] - 1) < sep_step
                 ).astype(jnp.float32)
                 for _ in range(cycle):
                     key, sub = jax.random.split(key)
@@ -773,7 +844,7 @@ class PPOTrainer(BaseRLTrainer):
 
         dev = de.build_device_bundle(
             bundle,
-            precompute_rir_rfft=bool(cfg.TPU.get("PRECOMPUTE_RIR_RFFT", True)),
+            precompute_rir_rfft=bool(cfg.TPU.get("PRECOMPUTE_RIR_RFFT", False)),
         )
         order = de.make_order_table(
             n_envs, len(bundle.episodes), cfg.SEED + world_rank
@@ -1310,21 +1381,44 @@ class PPOTrainer(BaseRLTrainer):
         else:
             config = cfg
 
+        # file-backed data resolves against the MERGED eval config (its
+        # DATASET.SPLIT / MONO_DIR may differ from the train config — the
+        # Unheard presets repoint both)
+        bundle = self._bundle
+        if bundle is None:
+            from move2hear_tpu.env.bundle import (
+                bundle_from_config,
+                has_file_backed_data,
+            )
+
+            if has_file_backed_data(config.TASK_CONFIG):
+                bundle = bundle_from_config(
+                    config.TASK_CONFIG,
+                    max_rir_length=config.TPU.MAX_RIR_LENGTH,
+                )
+
         n_eps = config.get("EVAL_EPISODE_COUNT", config.EVAL.EPISODE_COUNT)
-        if (
+        use_device = (
             config.TPU.DEVICE_ENV
             and n_eps >= config.TPU.get("DEVICE_EVAL_MIN_EPISODES", 64)
-        ):
+        )
+        if use_device and bundle is not None:
+            from move2hear_tpu.env.device_env import estimate_bank_bytes
+
+            use_device = estimate_bank_bytes(bundle) <= int(
+                config.TPU.MAX_DEVICE_BANK_BYTES
+            )
+        if use_device:
             from move2hear_tpu.eval.device_evaluator import (
                 evaluate_checkpoint_device,
             )
 
             return evaluate_checkpoint_device(
-                config, checkpoint_path, checkpoint_index, bundle=self._bundle
+                config, checkpoint_path, checkpoint_index, bundle=bundle
             )
         from move2hear_tpu.eval.evaluator import evaluate_checkpoint
 
         return evaluate_checkpoint(
-            config, checkpoint_path, checkpoint_index, bundle=self._bundle
+            config, checkpoint_path, checkpoint_index, bundle=bundle
         )
 

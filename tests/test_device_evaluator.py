@@ -112,3 +112,80 @@ def test_device_eval_matches_host_on_stft_l2(setup):
     assert host["mem_l2_last"]["mean"] == pytest.approx(
         dev["mem_l2_last"]["mean"], rel=1e-3
     )
+
+
+def test_device_dump_matches_host_layout(setup):
+    """The device evaluator's eval_metrics pkl must be per-episode,
+    per-step, host-layout compatible (ppo_trainer.py:1386-1431,1506-1518) so
+    scripts/separation_quality.py needs no special case — and must not
+    contain wrap-around duplicate episodes (VERDICT r2 item 5)."""
+    import os
+    import pickle
+
+    cfg, bundle, ckpt = setup
+    from move2hear_tpu.eval.evaluator import evaluate_checkpoint
+
+    cfg2 = cfg.clone().defrost()
+    cfg2.EVAL_EPISODE_COUNT = 3
+    cfg2.COMPUTE_EVAL_METRICS = True
+    cfg2.RL.PPO.deterministic_eval = True
+    cfg2.freeze()
+
+    evaluate_checkpoint(cfg2, ckpt, 11, bundle=bundle)
+    # batch_envs > remaining episodes exercises the round-robin padding
+    evaluate_checkpoint_device(cfg2, ckpt, 12, bundle=bundle, batch_envs=2)
+
+    with open(os.path.join(cfg.MODEL_DIR, "eval_metrics_ckpt_11.pkl"), "rb") as f:
+        host_dump = pickle.load(f)
+    with open(os.path.join(cfg.MODEL_DIR, "eval_metrics_ckpt_12.pkl"), "rb") as f:
+        dev_dump = pickle.load(f)
+
+    # exactly EVAL_EPISODE_COUNT distinct episodes, no padding duplicates
+    assert len(dev_dump) == 3
+    # host evaluator plays episodes in dataset order (shuffle off); the
+    # device evaluator batches them in the same order -> same key sets
+    assert set(dev_dump) == set(host_dump)
+
+    for key, dev_ep in dev_dump.items():
+        host_ep = host_dump[key]
+        # same per-step layout
+        for k in ("mono_l2", "mem_l2", "bin_l2"):
+            assert len(dev_ep[k]) == len(host_ep[k])
+            np.testing.assert_allclose(
+                dev_ep[k], host_ep[k], rtol=2e-3, atol=1e-4
+            )
+        assert len(dev_ep["quality"]) == len(host_ep["quality"])
+        for q_dev, q_host in zip(dev_ep["quality"], host_ep["quality"]):
+            assert set(q_dev) == {"mono", "monoFromMem"}
+            for head in ("mono", "monoFromMem"):
+                assert set(q_dev[head]) == set(q_host[head])
+                # device SI runs in f32 with on-device ISTFT; host uses
+                # numpy f64 — agree to ~0.2 dB
+                for m, v in q_dev[head].items():
+                    assert abs(v - q_host[head][m]) < 0.2, (key, head, m)
+
+
+def test_device_dump_feeds_separation_quality_script(setup, capsys):
+    import json as _json
+    import os
+    import sys
+
+    cfg, bundle, ckpt = setup
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        import separation_quality
+    finally:
+        sys.path.pop(0)
+
+    evaluate_checkpoint_device(cfg, ckpt, 33, bundle=bundle, batch_envs=2)
+    old = sys.argv
+    sys.argv = ["separation_quality.py", cfg.MODEL_DIR, "--ckpt", "33",
+                "--metrics", "si_sdr"]
+    try:
+        separation_quality.main()
+    finally:
+        sys.argv = old
+    out = _json.loads(capsys.readouterr().out)
+    assert "mono_l2_last" in out and out["mono_l2_last"]["n"] == 3
+    assert "mono_si_sdr_last" in out

@@ -188,3 +188,73 @@ def test_sep_buffer_slot_layout_regression():
     assert (np.asarray(buf.sound_ids[0]) == 7).all()   # seed intact
     assert (np.asarray(buf.sound_ids[1]) == 3).all()   # insert went to step+1
     assert (np.asarray(buf.sound_ids[2]) == 0).all()
+
+
+# --- reward override (reference aliasing) -----------------------------------
+
+def _ref_reward_util(pred, gt):
+    """reward_util (env_utils.py:708-713): -MSE(pred, gt)/mean(gt^2)."""
+    return -float(np.mean((pred - gt) ** 2)) / float(np.mean(gt ** 2))
+
+
+def _ref_override_rewards(rewards, dones, next_pred, next_gt,
+                          reward_type=None, pred=None, gt=None,
+                          extra_reward_multiplier=10.0):
+    """Faithful replay of override_rewards (env_utils.py:690-705): mutates
+    the rewards LIST in place and returns the SAME list object."""
+    for idx in range(len(rewards)):
+        if not dones[idx]:
+            rewards[idx] = _ref_reward_util(next_pred[idx], next_gt[idx])
+            if reward_type == "quality_improvement":
+                rewards[idx] -= _ref_reward_util(pred[idx], gt[idx])
+            else:
+                rewards[idx] *= extra_reward_multiplier
+        else:
+            rewards[idx] = 0.0
+    return rewards
+
+
+def test_sep_reward_matches_reference_aliasing(rng):
+    """Replay the reference's trainer call sequence (ppo_trainer.py:385-405)
+    for every step position of a MAX_EPISODE_STEPS=20 episode and pin our
+    fused sep_reward against it — including the bonus step MAX-2, where the
+    reference's in-place list aliasing makes the effective reward
+    2*extra_mult*q_next with the quality-improvement delta DISCARDED."""
+    from move2hear_tpu.rl.device_rollout import sep_reward
+
+    n, max_steps, em = 4, 20, 10.0
+    for step in range(max_steps):
+        pred = rng.standard_normal((n, 8, 4)).astype(np.float32)
+        gt = np.abs(rng.standard_normal((n, 8, 4))).astype(np.float32) + 0.1
+        next_pred = rng.standard_normal((n, 8, 4)).astype(np.float32)
+        next_gt = np.abs(rng.standard_normal((n, 8, 4))).astype(np.float32) + 0.1
+        dones = [False, True, False, False] if step % 3 == 0 else [False] * n
+
+        # ---- reference sequence (lists, in-place, aliasing) --------------
+        rewards = [0.123] * n  # env rewards, about to be overridden
+        rewards = _ref_override_rewards(
+            rewards, dones, next_pred, next_gt, "quality_improvement",
+            pred=pred, gt=gt,
+        )
+        if step == max_steps - 2:
+            rewards_extra = _ref_override_rewards(
+                rewards, dones, next_pred, next_gt, "extra",
+                extra_reward_multiplier=em,
+            )
+            assert rewards_extra is rewards  # the aliasing under test
+            rewards = (np.array(rewards) + np.array(rewards_extra)).tolist()
+        ref = np.asarray(rewards, np.float32)
+
+        # ---- ours --------------------------------------------------------
+        q_now = np.asarray([_ref_reward_util(pred[i], gt[i]) for i in range(n)],
+                           np.float32)
+        q_next = np.asarray(
+            [_ref_reward_util(next_pred[i], next_gt[i]) for i in range(n)],
+            np.float32,
+        )
+        not_done = 1.0 - np.asarray(dones, np.float32)
+        ours = np.asarray(sep_reward(
+            jnp.asarray(q_now), jnp.asarray(q_next), jnp.asarray(not_done),
+            step == max_steps - 2, em,
+        ))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)

@@ -111,7 +111,8 @@ def test_slab_cached_sep_update_matches_render_cached():
     flat = lambda x: x.reshape((t * n,) + x.shape[2:])
     mono = dev.wav_bank[flat(buf.sound_ids)]
     rirs = dev.rir_bank[
-        flat(buf.az_idx)[:, None], flat(buf.node)[:, None], flat(buf.sources)
+        flat(buf.scene_idx)[:, None], flat(buf.az_idx)[:, None],
+        flat(buf.node)[:, None], flat(buf.sources)
     ]
     rendered = render_binaural_mixture(mono, rirs, gt_mono_mag_norm=1.2)
     vars_ = {"params": state.params}
