@@ -23,10 +23,22 @@ class AcousticMem(nn.Module):
         pred_mono: jnp.ndarray,
         prev_pred_mono_from_mem_masked: jnp.ndarray,
         train: bool = False,
+        sliced: bool = False,
     ):
-        x = jnp.concatenate(
-            [slice16(pred_mono), slice16(prev_pred_mono_from_mem_masked)], axis=-1
-        )
+        """sliced=True: inputs are already in 16-slice layout
+        (B, F/16, T, 16) and the output stays sliced — lets the separator
+        refit hoist the layout transform out of its 24-grad-step scan
+        (slice16/deslice16 are pure permutations, so losses over all
+        elements are unchanged)."""
+        if sliced:
+            x = jnp.concatenate(
+                [pred_mono, prev_pred_mono_from_mem_masked], axis=-1
+            )
+        else:
+            x = jnp.concatenate(
+                [slice16(pred_mono), slice16(prev_pred_mono_from_mem_masked)],
+                axis=-1,
+            )
         x = nn.Conv(
             32, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=kaiming_relu, dtype=self.dtype,
@@ -41,4 +53,4 @@ class AcousticMem(nn.Module):
             SLICE_FACTOR, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=kaiming_relu, dtype=self.dtype,
         )(x)
-        return deslice16(x)
+        return x if sliced else deslice16(x)

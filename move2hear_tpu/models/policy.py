@@ -168,6 +168,16 @@ class Move2HearPolicy(nn.Module):
             sg(pred_mono), sg(prev_pred_monoFromMem_masked), train=train
         )
 
+    def get_monoFromMem_sliced(
+        self, pred_mono_s, prev_masked_s, train: bool = False
+    ):
+        """Acoustic-mem forward on PRE-SLICED (B, F/16, T, 16) inputs,
+        returning the sliced output — used by the separator refit to hoist
+        the slice16/deslice16 permutations out of its grad-step scan."""
+        return self.acoustic_mem(
+            sg(pred_mono_s), sg(prev_masked_s), train=train, sliced=True
+        )
+
     # --- acting ----------------------------------------------------------
     def _pol_features(
         self, observations, hidden, masks, pred_binSepMasks, pred_mono, pred_monoFromMem

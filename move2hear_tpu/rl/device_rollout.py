@@ -563,6 +563,7 @@ def make_update_sep_cached(
         )
 
     def mem_loss(sep_params, frozen, batch_stats, mb):
+        # inputs PRE-SLICED (see make_update_sep_from_slabs.mem_loss)
         params = {**frozen, **sep_params}
         variables = {"params": params}
         if batch_stats:
@@ -572,7 +573,7 @@ def make_update_sep_cached(
         prev = flat(mb["prev_mem"]) * flat(mb["masks"]).reshape(t * n, 1, 1, 1)
         pred_mem = policy.apply(
             variables, sg(flat(mb["pred_mono"])), prev,
-            method=Move2HearPolicy.get_monoFromMem,
+            method=Move2HearPolicy.get_monoFromMem_sliced,
         )
         return jnp.abs(pred_mem - sg(flat(mb["gt_mono"]))).mean()
 
@@ -581,6 +582,12 @@ def make_update_sep_cached(
             state.params, state.batch_stats, banks, buf
         )
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
+        from move2hear_tpu.ops.spec import slice16
+
+        # hoisted layout permutation, once per refit (not per grad step)
+        pred_mono = slice16(pred_mono.astype(jnp.float32))
+        gt_mono = slice16(gt_mono.astype(jnp.float32))
+        prev_s = slice16(buf.prev_mem.astype(jnp.float32))
 
         # (n_updates * ppo_epoch * num_mini_batch, envs_per) minibatch table
         steps_per_update = cfg.ppo_epoch * cfg.num_mini_batch
@@ -608,14 +615,14 @@ def make_update_sep_cached(
                 mb = {
                     "pred_mono": pred_mono,
                     "gt_mono": gt_mono,
-                    "prev_mem": buf.prev_mem,
+                    "prev_mem": prev_s,
                     "masks": buf.masks,
                 }
             else:
                 mb = {
                     "pred_mono": pred_mono[:, idx],
                     "gt_mono": gt_mono[:, idx],
-                    "prev_mem": buf.prev_mem[:, idx],
+                    "prev_mem": prev_s[:, idx],
                     "masks": buf.masks[:, idx],
                 }
             # pre-step loss logged, as the reference does (ppo.py:236-238)
@@ -795,6 +802,11 @@ def make_update_sep_from_slabs(
     sg = jax.lax.stop_gradient
 
     def mem_loss(sep_params, frozen, batch_stats, mb):
+        # inputs arrive PRE-SLICED (t, n, F/16, T, 16): the slice16 layout
+        # permutation is invariant across the 24 grad steps, so it is
+        # hoisted out of the scan (traced at ~70 ms/cycle of reshape+copy
+        # inside the loop before the hoist); slice16/deslice16 permute
+        # elements only, so the all-element L1 mean is unchanged
         params = {**frozen, **sep_params}
         variables = {"params": params}
         if batch_stats:
@@ -804,7 +816,7 @@ def make_update_sep_from_slabs(
         prev = flat(mb["prev_mem"]) * flat(mb["masks"]).reshape(t * n, 1, 1, 1)
         pred_mem = policy.apply(
             variables, sg(flat(mb["pred_mono"])), prev,
-            method=Move2HearPolicy.get_monoFromMem,
+            method=Move2HearPolicy.get_monoFromMem_sliced,
         )
         err = jnp.abs(pred_mem - sg(flat(mb["gt_mono"])))
         if with_validity:
@@ -818,6 +830,13 @@ def make_update_sep_from_slabs(
         row_weights=None,
     ):
         sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
+        from move2hear_tpu.ops.spec import slice16
+
+        # hoisted layout transform (see mem_loss); promote bf16 slabs back
+        # to f32 here, once
+        mono_s = slice16(buf.pred_mono.astype(jnp.float32))
+        gt_s = slice16(buf.gt_mono.astype(jnp.float32))
+        prev_s = slice16(buf.prev_mem.astype(jnp.float32))
         steps_per_update = cfg.ppo_epoch * cfg.num_mini_batch
         perms = (
             jnp.arange(n_updates * steps_per_update)
@@ -844,16 +863,16 @@ def make_update_sep_from_slabs(
                 # is a no-op on the batch-mean gradient — skip it (measured
                 # the dominant cost of the refit; see scripts/cost_analysis.py)
                 mb = {
-                    "pred_mono": buf.pred_mono,
-                    "gt_mono": buf.gt_mono,
-                    "prev_mem": buf.prev_mem,
+                    "pred_mono": mono_s,
+                    "gt_mono": gt_s,
+                    "prev_mem": prev_s,
                     "masks": buf.masks,
                 }
             else:
                 mb = {
-                    "pred_mono": buf.pred_mono[:, idx],
-                    "gt_mono": buf.gt_mono[:, idx],
-                    "prev_mem": buf.prev_mem[:, idx],
+                    "pred_mono": mono_s[:, idx],
+                    "gt_mono": gt_s[:, idx],
+                    "prev_mem": prev_s[:, idx],
                     "masks": buf.masks[:, idx],
                 }
             if with_validity:

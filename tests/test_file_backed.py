@@ -254,4 +254,5 @@ def test_graph_scene_from_real_networkx_pickle(tmp_path):
     from move2hear_tpu.env.device_env import build_device_scene
 
     dscene = build_device_scene(scene)
-    assert list(np.asarray(dscene.neighbors[0]))[:3] == [3, 1, 2]
+    # (S, V, D) layout: scene 0, node 0
+    assert list(np.asarray(dscene.neighbors[0, 0]))[:3] == [3, 1, 2]
