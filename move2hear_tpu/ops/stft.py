@@ -46,12 +46,29 @@ def _frame(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """Frame the last axis of `x` into overlapping windows.
 
     x: (..., L_padded) -> (..., n_frames, n_fft)
+
+    Built from ceil(n_fft/hop) shifted contiguous slices reshaped to
+    (n_frames, hop) and concatenated along the window axis — frame i,
+    sample j*hop+m of view j is x[i*hop + j*hop + m]. Pure slices +
+    reshapes + one concat: on TPU this lowers to plain copies, where the
+    equivalent advanced-index gather (n_frames*n_fft indices) was measured
+    ~20x off memcpy speed and forced layout copies around it (the framing
+    gather was ~half the collect-scan's device time at the bench shapes).
     """
     length = x.shape[-1]
     n = 1 + (length - n_fft) // hop_length
-    starts = np.arange(n) * hop_length
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (n, n_fft), static
-    return x[..., idx]
+    k = -(-n_fft // hop_length)  # shifted views per frame
+    need = hop_length * (n - 1) + k * hop_length
+    if need > length:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, need - length)]
+        x = jnp.pad(x, pad)
+    views = [
+        x[..., j * hop_length : j * hop_length + n * hop_length].reshape(
+            x.shape[:-1] + (n, hop_length)
+        )
+        for j in range(k)
+    ]
+    return jnp.concatenate(views, axis=-1)[..., :n_fft]
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "center"))
