@@ -159,23 +159,33 @@ def istft(
     n_frames = frames.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
 
-    # Overlap-add via segment-sum: scatter each frame into the output.
-    starts = np.arange(n_frames) * hop_length
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (n_frames, n_fft)
-    flat_idx = jnp.asarray(idx.reshape(-1))
-
-    def _ola(fr):
-        return jnp.zeros((out_len,), fr.dtype).at[flat_idx].add(fr.reshape(-1))
-
-    batch_shape = frames.shape[:-2]
-    sig = jax.vmap(_ola)(frames.reshape((-1, n_frames, n_fft)))
-    sig = sig.reshape(batch_shape + (out_len,))
+    # Overlap-add via shifted hop-chunks: pad each frame to k*hop, split into
+    # k hop-sized chunks, and sum the k chunk-grids at offsets 0..k-1 — the
+    # dual of _frame's gather-free framing. Static pads + adds instead of a
+    # scatter (TPU scatters serialize; this is a handful of vector adds).
+    k = -(-n_fft // hop_length)
+    nd = frames.ndim
+    fr = jnp.pad(
+        frames, [(0, 0)] * (nd - 1) + [(0, k * hop_length - n_fft)]
+    ).reshape(frames.shape[:-1] + (k, hop_length))
+    parts = [
+        jnp.pad(
+            fr[..., j, :],
+            [(0, 0)] * (nd - 2) + [(j, k - 1 - j), (0, 0)],
+        )
+        for j in range(k)
+    ]
+    chunks = parts[0]
+    for p in parts[1:]:
+        chunks = chunks + p  # (..., n_frames + k - 1, hop)
+    sig = chunks.reshape(frames.shape[:-2] + ((n_frames + k - 1) * hop_length,))
+    sig = sig[..., :out_len]
 
     # squared-window normalization envelope (static, built in numpy so it is
     # a compile-time constant even under jit tracing)
     wsq = _np_hann(n_fft) ** 2
     env = np.zeros(out_len)
-    for s in starts:
+    for s in np.arange(n_frames) * hop_length:
         env[s : s + n_fft] += wsq
     tiny = np.finfo(np.float32).tiny
     env = np.where(env > tiny, env, 1.0)
