@@ -235,26 +235,36 @@ def requeue_job():
 
 # --- interrupted state -------------------------------------------------------
 
-def interrupted_state_path(job_id) -> str:
+def interrupted_state_path(job_id, scope: str = "") -> str:
+    """Path of the preemption snapshot. Under SLURM, job_id alone is unique;
+    outside SLURM everyone shares the default JOB_ID=1, so `scope` (trainer
+    kind + CHECKPOINT_FOLDER) keys the file to one experiment — a requeued
+    rerun reproduces the same scope from its config, while unrelated runs
+    (e.g. a bench and a test) can no longer adopt each other's state."""
     base = os.environ.get(
         "INTERRUPTED_STATE_DIR",
         os.path.join(os.path.expanduser("~"), ".interrupted_states"),
     )
-    return os.path.join(base, f"{job_id}.ckpt")
+    name = str(job_id)
+    if scope:
+        import hashlib
+
+        name += "-" + hashlib.sha1(scope.encode()).hexdigest()[:12]
+    return os.path.join(base, f"{name}.ckpt")
 
 
-def save_interrupted_state(state: dict, job_id) -> str:
+def save_interrupted_state(state: dict, job_id, scope: str = "") -> str:
     from move2hear_tpu.utils.checkpoint import save_checkpoint
 
-    path = interrupted_state_path(job_id)
+    path = interrupted_state_path(job_id, scope)
     save_checkpoint(path, state)
     return path
 
 
-def load_interrupted_state(job_id) -> Optional[dict]:
+def load_interrupted_state(job_id, scope: str = "") -> Optional[dict]:
     from move2hear_tpu.utils.checkpoint import load_checkpoint
 
-    path = interrupted_state_path(job_id)
+    path = interrupted_state_path(job_id, scope)
     if not os.path.exists(path):
         return None
     return load_checkpoint(path)

@@ -226,7 +226,7 @@ class PassiveTrainer(BaseTrainer):
         )
 
         start_epoch = 0
-        cand = interrupted_state_path(self.config.JOB_ID)
+        cand = interrupted_state_path(self.config.JOB_ID, self._interrupt_scope())
         if os.path.exists(cand):
             ckpt = load_checkpoint(
                 cand,
@@ -254,6 +254,7 @@ class PassiveTrainer(BaseTrainer):
                         "config": self.config.to_dict(),
                     },
                     self.config.JOB_ID,
+                    scope=self._interrupt_scope(),
                 )
                 requeue_job()
                 break

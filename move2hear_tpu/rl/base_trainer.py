@@ -21,6 +21,12 @@ class BaseTrainer:
     def load_checkpoint(self, checkpoint_path: str):
         raise NotImplementedError
 
+    def _interrupt_scope(self) -> str:
+        """Keys the preemption snapshot to this experiment (trainer kind +
+        checkpoint folder) so runs sharing the default JOB_ID can't adopt
+        each other's interrupted state."""
+        return f"{type(self).__name__}:{self.config.CHECKPOINT_FOLDER}"
+
 
 class BaseRLTrainer(BaseTrainer):
     def __init__(self, config):

@@ -65,7 +65,11 @@ from move2hear_tpu.rl.rollout import (
     insert_pol,
     insert_sep,
 )
-from move2hear_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from move2hear_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    tree_shapes_match as _tree_shapes_match,
+)
 from move2hear_tpu.utils.misc import linear_decay
 from move2hear_tpu.utils.registry import registry
 
@@ -795,6 +799,7 @@ class PPOTrainer(BaseRLTrainer):
                     "config": self.config.to_dict(),
                 },
                 self.config.JOB_ID,
+                scope=self._interrupt_scope(),
             )
             requeue_job()
         return True
@@ -872,14 +877,17 @@ class PPOTrainer(BaseRLTrainer):
         state = create_agent_state(ppo_cfg, variables)
         resume_count = 0
         resume_path = cfg.get("RESUME_CKPT", "")
+        auto_resume = False
+        ckpt = None
         if not resume_path:
             # auto-resume from an interrupted state for this JOB_ID
             # (ppo_trainer.py:52-55 semantics, now actually wired)
             from move2hear_tpu.parallel.ddppo import interrupted_state_path
 
-            cand = interrupted_state_path(cfg.JOB_ID)
+            cand = interrupted_state_path(cfg.JOB_ID, self._interrupt_scope())
             if os.path.exists(cand):
                 resume_path = cand
+                auto_resume = True
         if resume_path and os.path.exists(resume_path):
             ckpt = load_checkpoint(
                 resume_path,
@@ -890,6 +898,15 @@ class PPOTrainer(BaseRLTrainer):
                     "opt_state_sep": state.opt_state_sep,
                 },
             )
+            if auto_resume and not _tree_shapes_match(state.params, ckpt["params"]):
+                # a stale snapshot from a different model config (an explicit
+                # RESUME_CKPT mismatch should fail loudly instead)
+                logger.warning(
+                    "ignoring interrupted state %s: parameter shapes do not "
+                    "match this config", resume_path,
+                )
+                ckpt = None
+        if resume_path and ckpt is not None:
             state = state.replace(
                 params=ckpt["params"],
                 batch_stats=ckpt.get("batch_stats") or {},

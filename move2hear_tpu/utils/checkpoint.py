@@ -20,6 +20,19 @@ import jax
 import numpy as np
 
 
+def tree_shapes_match(a, b) -> bool:
+    """True iff the two pytrees have identical structure and leaf shapes —
+    the auto-resume compatibility gate (a stale interrupted state from a
+    different model config must not be adopted)."""
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    if ta != tb or len(la) != len(lb):
+        return False
+    return all(
+        np.shape(x) == np.shape(y) for x, y in zip(la, lb)
+    )
+
+
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 

@@ -237,8 +237,13 @@ def test_preemption_sigusr2_saves_interrupted_state(tmp_path):
     assert rc == 0, out
     assert "CLEAN_EXIT" in out, out
 
-    path = str(tmp_path / "interrupted" / "preempt-test.ckpt")
-    assert os.path.exists(path), os.listdir(str(tmp_path / "interrupted"))
+    # the snapshot is scope-keyed (JOB_ID + experiment hash) so unrelated
+    # runs sharing a JOB_ID can't adopt each other's state
+    import glob
+
+    matches = glob.glob(str(tmp_path / "interrupted" / "preempt-test*.ckpt"))
+    assert matches, os.listdir(str(tmp_path / "interrupted"))
+    path = matches[0]
     state = load_checkpoint(path)
     assert state["extra_state"]["update_count"] >= 1
     assert "opt_state_pol" in state and "opt_state_sep" in state
