@@ -69,6 +69,7 @@ def test_rl_auto_resume_shape_gate(monkeypatch, tmp_path, compatible, caplog):
             "RL.PPO.num_steps", "2",
             "RL.PPO.num_updates_per_cycle", "1",
             "RL.PPO.ppo_epoch", "1",
+            "RL.PPO.num_mini_batch", "1",
             "RL.PPO.pretrained_passive_separators_ckpt", "",
             "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
             "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
