@@ -319,6 +319,8 @@ class PassiveTrainer(BaseTrainer):
 
         tb.close()
         self._final = (params, batch_stats, opt_state)
+        # drop the snapshot after a normal completion (no-op if preempted)
+        self._clear_interrupted_state()
 
     def _save(self, path, params, batch_stats, opt_state, epoch):
         save_checkpoint(

@@ -27,6 +27,29 @@ class BaseTrainer:
         each other's interrupted state."""
         return f"{type(self).__name__}:{self.config.CHECKPOINT_FOLDER}"
 
+    def _clear_interrupted_state(self) -> None:
+        """Remove this experiment's preemption snapshot after a run completes
+        normally; no-op when the run is exiting BECAUSE of a preemption."""
+        import os
+
+        from move2hear_tpu.parallel.ddppo import (
+            EXIT,
+            get_distrib_info,
+            interrupted_state_path,
+        )
+
+        if EXIT.is_set():
+            return
+        _, world_rank, _ = get_distrib_info()
+        if world_rank != 0:
+            return
+        path = interrupted_state_path(self.config.JOB_ID, self._interrupt_scope())
+        if os.path.exists(path):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
 
 class BaseRLTrainer(BaseTrainer):
     def __init__(self, config):

@@ -300,9 +300,14 @@ class PPOTrainer(BaseRLTrainer):
                     "MAX_DEVICE_BANK_BYTES=%.2f GiB); using the host env "
                     "path", est / 2**30, budget / 2**30,
                 )
-                return self._train_host()
-            return self._train_device()
-        return self._train_host()
+                self._train_host()
+            else:
+                self._train_device()
+        else:
+            self._train_host()
+        # a finished run's snapshot must not hijack the next run of this
+        # experiment (preempted runs skip this: EXIT is still set)
+        self._clear_interrupted_state()
 
     def _train_host(self) -> None:
         cfg = self.config
@@ -367,6 +372,42 @@ class PPOTrainer(BaseRLTrainer):
                 batch_stats[k] = v
             state = state.replace(params=params, batch_stats=batch_stats)
             logger.info("loaded pretrained passive separators")
+
+        # auto-resume a preemption snapshot (mirrors the device path; a
+        # requeued host-path job must not restart from scratch)
+        resume_count = 0
+        from move2hear_tpu.parallel.ddppo import interrupted_state_path
+
+        cand = interrupted_state_path(cfg.JOB_ID, self._interrupt_scope())
+        if os.path.exists(cand):
+            ckpt = load_checkpoint(
+                cand,
+                targets={
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state_pol": state.opt_state_pol,
+                    "opt_state_sep": state.opt_state_sep,
+                },
+            )
+            if _tree_shapes_match(state.params, ckpt["params"]):
+                state = state.replace(
+                    params=ckpt["params"],
+                    batch_stats=ckpt.get("batch_stats") or {},
+                    opt_state_pol=ckpt["opt_state_pol"],
+                    opt_state_sep=ckpt["opt_state_sep"],
+                )
+                resume_count = int(
+                    (ckpt.get("extra_state") or {}).get("update_count", 0)
+                )
+                logger.info(
+                    "resumed full train state from %s at update %d",
+                    cand, resume_count,
+                )
+            else:
+                logger.warning(
+                    "ignoring interrupted state %s: parameter shapes do not "
+                    "match this config", cand,
+                )
 
         state = replicate(mesh, state)
         wav_bank = replicate(mesh, jnp.asarray(self._wav_bank))
@@ -469,8 +510,8 @@ class PPOTrainer(BaseRLTrainer):
         env_time = 0.0
         pth_time = 0.0
         t_start = time.time()
-        update_count = 0
-        num_cycles = max(1, cfg.NUM_UPDATES // cycle)
+        update_count = resume_count
+        num_cycles = max(1, (cfg.NUM_UPDATES - resume_count) // cycle)
         # steady-state fps: measured from the end of the first full cycle
         # (excludes jit compilation of the rollout step and both updates)
         self._steady_t0 = None

@@ -48,9 +48,12 @@ def test_tree_shapes_match():
     assert not tree_shapes_match(a, {"conv": {}})
 
 
+@pytest.mark.parametrize("env_path", ["device", "host"])
 @pytest.mark.parametrize("compatible", [True, False])
-def test_rl_auto_resume_shape_gate(monkeypatch, tmp_path, compatible, caplog):
-    """Device-path trainer must adopt a compatible snapshot and ignore an
+def test_rl_auto_resume_shape_gate(
+    monkeypatch, tmp_path, compatible, env_path, caplog
+):
+    """Both trainer paths must adopt a compatible snapshot and ignore an
     incompatible one (instead of crashing in flax with ScopeParamShapeError)."""
     from move2hear_tpu.config import get_config
     from move2hear_tpu.env.micro_scene import build_micro_scene
@@ -73,7 +76,12 @@ def test_rl_auto_resume_shape_gate(monkeypatch, tmp_path, compatible, caplog):
             "RL.PPO.pretrained_passive_separators_ckpt", "",
             "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "3",
             "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
-        ],
+        ]
+        + (
+            ["TPU.DEVICE_ENV", "False", "USE_SYNC_VECENV", "True"]
+            if env_path == "host"
+            else []
+        ),
     )
     bundle = build_micro_scene(
         rows=3, cols=3, num_episodes=8, near_target=True, rir_length=300
@@ -131,3 +139,8 @@ def test_rl_auto_resume_shape_gate(monkeypatch, tmp_path, compatible, caplog):
         assert any(
             "ignoring interrupted state" in r.getMessage() for r in caplog.records
         )
+    # normal completion clears the snapshot either way
+    assert (
+        ddppo.load_interrupted_state(cfg.JOB_ID, scope=trainer._interrupt_scope())
+        is None
+    )

@@ -157,3 +157,7 @@ def test_passive_trainer_preemption_and_resume(monkeypatch, tmp_path):
     assert os.path.exists(
         os.path.join(cfg.CHECKPOINT_FOLDER, "best_ckpt_val.pth")
     )
+    # normal completion clears the snapshot so a later rerun starts fresh
+    assert ddppo.load_interrupted_state(
+        cfg.JOB_ID, scope=f"PassiveTrainer:{cfg.CHECKPOINT_FOLDER}"
+    ) is None
