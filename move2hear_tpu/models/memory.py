@@ -21,7 +21,7 @@ class AcousticMem(nn.Module):
     def __call__(
         self,
         pred_mono: jnp.ndarray,
-        prev_pred_mono_from_mem_masked: jnp.ndarray,
+        prev_pred_mono_from_mem_masked: jnp.ndarray = None,
         train: bool = False,
         sliced: bool = False,
     ):
@@ -29,8 +29,12 @@ class AcousticMem(nn.Module):
         (B, F/16, T, 16) and the output stays sliced — lets the separator
         refit hoist the layout transform out of its 24-grad-step scan
         (slice16/deslice16 are pure permutations, so losses over all
-        elements are unchanged)."""
-        if sliced:
+        elements are unchanged). With sliced=True and prev None, pred_mono
+        is the PRE-CONCATENATED (B, F/16, T, 32) input — the concat too is
+        loop-invariant in the refit and hoisted out of the grad scan."""
+        if sliced and prev_pred_mono_from_mem_masked is None:
+            x = pred_mono
+        elif sliced:
             x = jnp.concatenate(
                 [pred_mono, prev_pred_mono_from_mem_masked], axis=-1
             )

@@ -521,8 +521,6 @@ def make_update_sep_cached(
     recomputes them every minibatch anyway. Measured on v5e this turns the
     dominant cycle cost (6 x 1.28 s) into one ~0.35 s pass + millisecond
     memory steps."""
-    _, tx_sep = make_optimizers(cfg)
-    sg = jax.lax.stop_gradient
 
     def precompute(params, batch_stats, banks, buf: RolloutSepIdx):
         variables = {"params": params}
@@ -562,82 +560,20 @@ def make_update_sep_cached(
             mono_loss,
         )
 
-    def mem_loss(sep_params, frozen, batch_stats, mb):
-        # inputs PRE-SLICED (see make_update_sep_from_slabs.mem_loss)
-        params = {**frozen, **sep_params}
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        t, n = mb["masks"].shape[0], mb["masks"].shape[1]
-        flat = lambda v: v.reshape((t * n,) + v.shape[2:])
-        prev = flat(mb["prev_mem"]) * flat(mb["masks"]).reshape(t * n, 1, 1, 1)
-        pred_mem = policy.apply(
-            variables, sg(flat(mb["pred_mono"])), prev,
-            method=Move2HearPolicy.get_monoFromMem_sliced,
-        )
-        return jnp.abs(pred_mem - sg(flat(mb["gt_mono"]))).mean()
-
     def update(state: AgentState, buf: RolloutSepIdx, banks, rng, lr_scales):
         pred_mono, gt_mono, bin_loss, mono_loss = precompute(
             state.params, state.batch_stats, banks, buf
         )
-        sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
         from move2hear_tpu.ops.spec import slice16
 
         # hoisted layout permutation, once per refit (not per grad step)
-        pred_mono = slice16(pred_mono.astype(jnp.float32))
-        gt_mono = slice16(gt_mono.astype(jnp.float32))
+        mono_s = slice16(pred_mono.astype(jnp.float32))
+        gt_s = slice16(gt_mono.astype(jnp.float32))
         prev_s = slice16(buf.prev_mem.astype(jnp.float32))
-
-        # (n_updates * ppo_epoch * num_mini_batch, envs_per) minibatch table
-        steps_per_update = cfg.ppo_epoch * cfg.num_mini_batch
-        perms = (
-            jnp.arange(n_updates * steps_per_update)
-            if cfg.num_mini_batch == 1
-            else jnp.concatenate(
-                [
-                    _epoch_perms(
-                        jax.random.fold_in(rng, u), cfg.ppo_epoch, num_envs,
-                        cfg.num_mini_batch,
-                    )
-                    for u in range(n_updates)
-                ]
-            )
+        state, mem_losses = _mem_refit_scan(
+            policy, cfg, n_updates, False, None,
+            state, mono_s, gt_s, prev_s, buf.masks, rng, lr_scales, None,
         )
-        lrs = jnp.repeat(lr_scales, steps_per_update) * cfg.lr_sep
-
-        full_batch = cfg.num_mini_batch == 1
-
-        def scan_body(carry, inp):
-            sep_params, opt_state = carry
-            idx, lr = inp
-            if full_batch:
-                mb = {
-                    "pred_mono": pred_mono,
-                    "gt_mono": gt_mono,
-                    "prev_mem": prev_s,
-                    "masks": buf.masks,
-                }
-            else:
-                mb = {
-                    "pred_mono": pred_mono[:, idx],
-                    "gt_mono": gt_mono[:, idx],
-                    "prev_mem": prev_s[:, idx],
-                    "masks": buf.masks[:, idx],
-                }
-            # pre-step loss logged, as the reference does (ppo.py:236-238)
-            loss, grads = jax.value_and_grad(mem_loss)(
-                sep_params, frozen, state.batch_stats, mb
-            )
-            updates, opt_state = tx_sep.update(grads, opt_state, sep_params)
-            updates = jax.tree.map(lambda u: u * lr, updates)
-            sep_params = optax.apply_updates(sep_params, updates)
-            return (sep_params, opt_state), loss
-
-        (sep_params, opt_state), losses = jax.lax.scan(
-            scan_body, (sep_params, state.opt_state_sep), (perms, lrs)
-        )
-        mem_losses = losses.reshape(n_updates, steps_per_update).mean(axis=1)
         per_update = jnp.stack(
             [
                 jnp.broadcast_to(bin_loss, (n_updates,)),
@@ -646,12 +582,7 @@ def make_update_sep_cached(
             ],
             axis=1,
         )  # (n_updates, 3) matching the per-update loss logging
-        return (
-            state.replace(
-                params={**frozen, **sep_params}, opt_state_sep=opt_state
-            ),
-            per_update,
-        )
+        return state, per_update
 
     return update
 
@@ -776,12 +707,124 @@ def write_sep_slab(
     )
 
 
+def _mem_refit_scan(
+    policy: Move2HearPolicy,
+    cfg: PPOConfig,
+    n_updates: int,
+    with_validity: bool,
+    refit_dtype,
+    state: AgentState,
+    mono_s,
+    gt_s,
+    prev_s,
+    masks,
+    rng,
+    lr_scales,
+    row_weights,
+):
+    """Shared grad-step scan of the cached separator refits.
+
+    Every loop-invariant input transform — masking the carried memory, the
+    channel concat, row flattening, validity-weight broadcast — is hoisted
+    OUT of the scan (measured ~40 ms/cycle of re-materialized 100MB-scale
+    intermediates at the bench shapes when done per step). The loss applies
+    the standalone AcousticMem on the same 'acoustic_mem' parameter subtree
+    the policy owns, so the update math matches routing through
+    Move2HearPolicy exactly (ppo.py:179-246 semantics).
+
+    refit_dtype: conv compute dtype for the refit only (params, optimizer
+    state and the L1 loss stay float32); defaults to the policy dtype."""
+    from move2hear_tpu.models.memory import AcousticMem
+
+    _, tx_sep = make_optimizers(cfg)
+    sg = jax.lax.stop_gradient
+    sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
+    num_envs = masks.shape[1]
+    t, n = masks.shape[0], masks.shape[1]
+    x_cat = jnp.concatenate(
+        [mono_s, prev_s * masks.reshape(t, n, 1, 1, 1)], axis=-1
+    )
+    steps_per_update = cfg.ppo_epoch * cfg.num_mini_batch
+    perms = (
+        jnp.arange(n_updates * steps_per_update)
+        if cfg.num_mini_batch == 1
+        else jnp.concatenate(
+            [
+                _epoch_perms(
+                    jax.random.fold_in(rng, u), cfg.ppo_epoch, num_envs,
+                    cfg.num_mini_batch,
+                )
+                for u in range(n_updates)
+            ]
+        )
+    )
+    lrs = jnp.repeat(lr_scales, steps_per_update) * cfg.lr_sep
+    full_batch = cfg.num_mini_batch == 1
+
+    mem_mod = AcousticMem(
+        use_ddppo=policy.use_ddppo,
+        dtype=refit_dtype if refit_dtype is not None else policy.dtype,
+    )
+    bn_stats = (state.batch_stats or {}).get("acoustic_mem")
+
+    def flat(v):
+        return v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])
+
+    if full_batch:
+        x_full, g_full = flat(x_cat), flat(gt_s)
+    w_full = None
+    if with_validity:
+        assert row_weights is not None
+        w_full = jnp.broadcast_to(row_weights[:, None], (t, n)).reshape(t * n)
+
+    def mem_loss(sep_params, x, g, w):
+        variables = {"params": sep_params["acoustic_mem"]}
+        if bn_stats:
+            variables["batch_stats"] = bn_stats
+        pred = mem_mod.apply(variables, sg(x), sliced=True)
+        err = jnp.abs(pred.astype(jnp.float32) - sg(g))
+        if w is not None:
+            per = err.mean(axis=(1, 2, 3))
+            return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return err.mean()
+
+    def scan_body(carry, inp):
+        sep_params, opt_state = carry
+        idx, lr = inp
+        if full_batch:
+            x, g, w = x_full, g_full, w_full
+        else:
+            x, g = flat(x_cat[:, idx]), flat(gt_s[:, idx])
+            w = (
+                jnp.broadcast_to(
+                    row_weights[:, None], (t, idx.shape[0])
+                ).reshape(-1)
+                if with_validity
+                else None
+            )
+        loss, grads = jax.value_and_grad(mem_loss)(sep_params, x, g, w)
+        updates, opt_state = tx_sep.update(grads, opt_state, sep_params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        sep_params = optax.apply_updates(sep_params, updates)
+        return (sep_params, opt_state), loss
+
+    (sep_params, opt_state), losses = jax.lax.scan(
+        scan_body, (sep_params, state.opt_state_sep), (perms, lrs)
+    )
+    mem_losses = losses.reshape(n_updates, steps_per_update).mean(axis=1)
+    new_state = state.replace(
+        params={**frozen, **sep_params}, opt_state_sep=opt_state
+    )
+    return new_state, mem_losses
+
+
 def make_update_sep_from_slabs(
     policy: Move2HearPolicy,
     cfg: PPOConfig,
     num_envs: int,
     n_updates: int,
     with_validity: bool = False,
+    refit_dtype=None,
 ):
     """All `n_updates` separator refits of a cycle in one program, consuming
     the frozen-separator outputs CACHED BY THE COLLECT SCAN (pred_mono /
@@ -798,98 +841,23 @@ def make_update_sep_from_slabs(
     With `with_validity=True` the fn takes an extra `row_weights` ((T_total,)
     float): rows left stale by preemptive-sync truncation
     (ppo_trainer.py:769-782) get zero weight in the loss and logging means."""
-    _, tx_sep = make_optimizers(cfg)
-    sg = jax.lax.stop_gradient
-
-    def mem_loss(sep_params, frozen, batch_stats, mb):
-        # inputs arrive PRE-SLICED (t, n, F/16, T, 16): the slice16 layout
-        # permutation is invariant across the 24 grad steps, so it is
-        # hoisted out of the scan (traced at ~70 ms/cycle of reshape+copy
-        # inside the loop before the hoist); slice16/deslice16 permute
-        # elements only, so the all-element L1 mean is unchanged
-        params = {**frozen, **sep_params}
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        t, n = mb["masks"].shape[0], mb["masks"].shape[1]
-        flat = lambda v: v.reshape((t * n,) + v.shape[2:])
-        prev = flat(mb["prev_mem"]) * flat(mb["masks"]).reshape(t * n, 1, 1, 1)
-        pred_mem = policy.apply(
-            variables, sg(flat(mb["pred_mono"])), prev,
-            method=Move2HearPolicy.get_monoFromMem_sliced,
-        )
-        err = jnp.abs(pred_mem - sg(flat(mb["gt_mono"])))
-        if with_validity:
-            w = jnp.broadcast_to(mb["row_w"][:, None], (t, n)).reshape(t * n)
-            per = err.mean(axis=(1, 2, 3))
-            return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
-        return err.mean()
 
     def update(
         state: AgentState, buf: RolloutSepIdx, rng, lr_scales,
         row_weights=None,
     ):
-        sep_params, frozen = _split(state.params, SEP_TRAIN_KEYS)
         from move2hear_tpu.ops.spec import slice16
 
-        # hoisted layout transform (see mem_loss); promote bf16 slabs back
-        # to f32 here, once
+        # hoisted layout transform (see _mem_refit_scan); promote bf16 slabs
+        # back to f32 here, once
         mono_s = slice16(buf.pred_mono.astype(jnp.float32))
         gt_s = slice16(buf.gt_mono.astype(jnp.float32))
         prev_s = slice16(buf.prev_mem.astype(jnp.float32))
-        steps_per_update = cfg.ppo_epoch * cfg.num_mini_batch
-        perms = (
-            jnp.arange(n_updates * steps_per_update)
-            if cfg.num_mini_batch == 1
-            else jnp.concatenate(
-                [
-                    _epoch_perms(
-                        jax.random.fold_in(rng, u), cfg.ppo_epoch, num_envs,
-                        cfg.num_mini_batch,
-                    )
-                    for u in range(n_updates)
-                ]
-            )
+        state, mem_losses = _mem_refit_scan(
+            policy, cfg, n_updates, with_validity, refit_dtype,
+            state, mono_s, gt_s, prev_s, buf.masks, rng, lr_scales,
+            row_weights,
         )
-        lrs = jnp.repeat(lr_scales, steps_per_update) * cfg.lr_sep
-
-        full_batch = cfg.num_mini_batch == 1
-
-        def scan_body(carry, inp):
-            sep_params, opt_state = carry
-            idx, lr = inp
-            if full_batch:
-                # num_mini_batch == 1: the permuted gather of the whole slab
-                # is a no-op on the batch-mean gradient — skip it (measured
-                # the dominant cost of the refit; see scripts/cost_analysis.py)
-                mb = {
-                    "pred_mono": mono_s,
-                    "gt_mono": gt_s,
-                    "prev_mem": prev_s,
-                    "masks": buf.masks,
-                }
-            else:
-                mb = {
-                    "pred_mono": mono_s[:, idx],
-                    "gt_mono": gt_s[:, idx],
-                    "prev_mem": prev_s[:, idx],
-                    "masks": buf.masks[:, idx],
-                }
-            if with_validity:
-                assert row_weights is not None
-                mb["row_w"] = row_weights
-            loss, grads = jax.value_and_grad(mem_loss)(
-                sep_params, frozen, state.batch_stats, mb
-            )
-            updates, opt_state = tx_sep.update(grads, opt_state, sep_params)
-            updates = jax.tree.map(lambda u: u * lr, updates)
-            sep_params = optax.apply_updates(sep_params, updates)
-            return (sep_params, opt_state), loss
-
-        (sep_params, opt_state), losses = jax.lax.scan(
-            scan_body, (sep_params, state.opt_state_sep), (perms, lrs)
-        )
-        mem_losses = losses.reshape(n_updates, steps_per_update).mean(axis=1)
         if with_validity:
             wsum = jnp.maximum(row_weights.sum(), 1.0)
             bin_loss = (buf.bin_l1.mean(axis=1) * row_weights).sum() / wsum
@@ -905,12 +873,7 @@ def make_update_sep_from_slabs(
             ],
             axis=1,
         )
-        return (
-            state.replace(
-                params={**frozen, **sep_params}, opt_state_sep=opt_state
-            ),
-            per_update,
-        )
+        return state, per_update
 
     return update
 

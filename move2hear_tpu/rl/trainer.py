@@ -1008,9 +1008,15 @@ class PPOTrainer(BaseRLTrainer):
         # make_update_sep_from_slabs)
         from move2hear_tpu.rl.device_rollout import make_update_sep_from_slabs
 
+        refit_dtype = (
+            jnp.bfloat16
+            if cfg.TPU.get("SEP_REFIT_DTYPE", "") == "bfloat16"
+            else None
+        )
         update_sep_fn_cycle = make_update_sep_from_slabs(
             policy, ppo_cfg, n_envs, cycle,
             with_validity=sync_dev is not None,
+            refit_dtype=refit_dtype,
         )
         if fused:
             # the whole cycle — 6x(collect+pol update) + cached sep refit —
