@@ -58,10 +58,27 @@ class GRUStateEncoder(nn.Module):
             new_h = cell(hidden * masks, x)
             return new_h, new_h
 
+        # input-side projections are independent of the carried hidden state:
+        # one (T*B, D) @ (D, 3H) matmul instead of T tiny (B, D) matmuls
+        # inside the scan (B is the env count, far below the MXU tile) —
+        # the scan body keeps only the hidden-side matmul + pointwise gates
+        t, b = x.shape[0], x.shape[1]
+        gi_all = (
+            jnp.dot(x.reshape(t * b, -1).astype(dt), w_ih.astype(dt))
+            + b_ih.astype(dt)
+        ).reshape(t, b, 3 * h_dim)
+
         def step(h, inp):
-            xt, mt = inp
-            new_h = cell(h * mt, xt)
+            gi, mt = inp
+            h = h * mt
+            gh = jnp.dot(h.astype(dt), w_hh.astype(dt)) + b_hh.astype(dt)
+            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+            r = nn.sigmoid(i_r + h_r)
+            z = nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            new_h = (1.0 - z) * n + z * h
             return new_h, new_h
 
-        final_h, outs = jax.lax.scan(step, hidden, (x, masks))
+        final_h, outs = jax.lax.scan(step, hidden, (gi_all, masks))
         return outs, final_h
