@@ -38,10 +38,22 @@ import time
 import numpy as np
 
 
-def measure_reference_frontend(seconds: float = 6.0, rir_len: int = 16000):
+def measure_reference_frontend(seconds: float = 2.0, rir_len: int = 16000,
+                               repeats: int = 3):
     """Reference per-step host audio cost: 2 sources x (fftconvolve x2 ears +
     binaural STFT x2) + mono STFT (cached in steady state -> excluded) +
-    mixture STFT x2 (simulator_train.py:386-486)."""
+    mixture STFT x2 (simulator_train.py:386-486).
+
+    Best of `repeats` windows: the single shared core here is noisy under
+    background load, and crediting the reference its FASTEST window keeps
+    our vs_baseline ratio conservative."""
+    return max(
+        _measure_reference_frontend_once(seconds, rir_len)
+        for _ in range(repeats)
+    )
+
+
+def _measure_reference_frontend_once(seconds: float, rir_len: int):
     from scipy.signal import fftconvolve
 
     rng = np.random.default_rng(0)
