@@ -8,6 +8,14 @@ sits from speed-of-light and whether it is FLOP- or bandwidth-bound.
 Run exclusively on the chip (the tunnel serializes concurrent jobs).
 """
 
+#
+# CAVEAT: XLA's compiled cost_analysis counts a `lax.scan`/while BODY ONCE,
+# not times its trip count — for the scanned programs here (the T-step
+# collect, the epoch-loop updates) `gflops`/`gbytes`/`optimal_ms` are
+# per-iteration-scale numbers while `wall_ms` is the whole program, so
+# `x_from_optimal` overstates the gap by roughly the trip count. Compare
+# wall_ms against optimal_ms * trip_count, or profile per-step.
+
 import json
 import os
 import sys
