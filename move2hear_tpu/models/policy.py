@@ -60,11 +60,21 @@ class PolicyNet(nn.Module):
         )
         self.state_encoder = GRUStateEncoder(self.hidden_size, dtype=self.dtype)
 
+    def visual(self, rgb=None, depth=None):
+        return self.visual_encoder(rgb=rgb, depth=depth)
+
     def _features(self, observations, pred_binSepMasks, pred_mono, pred_monoFromMem):
-        feats = [
-            self.visual_encoder(
+        # a precomputed "visual_feats" entry (the collect scan's per-rollout
+        # pose-feature bank; see make_collect) replaces the conv stack —
+        # identical values, computed once per distinct pose instead of per
+        # step (params are frozen within a rollout)
+        vis = observations.get("visual_feats")
+        if vis is None:
+            vis = self.visual_encoder(
                 rgb=observations.get("rgb"), depth=observations.get("depth")
-            ),
+            )
+        feats = [
+            vis,
             self.bin_encoder(
                 mixed_log_mag=observations["mixed_bin_audio_mag"],
                 pred_bin_sep_masks=pred_binSepMasks,
@@ -145,6 +155,14 @@ class Move2HearPolicy(nn.Module):
             pred_mem,
             deterministic=True,
         )
+
+    def visual_features(self, rgb=None, depth=None):
+        """Pol-net visual encodings for a batch of poses: the collect scan
+        precomputes these once per rollout (one MXU-friendly conv batch over
+        the S*V*4 distinct poses) and gathers per-step instead of running
+        the conv stack on every step's frames — exact, since parameters are
+        frozen within a rollout."""
+        return self.pol_net.visual(rgb=rgb, depth=depth)
 
     # --- separator chain -------------------------------------------------
     def get_binSepMasks(self, observations: Observations, train: bool = False):

@@ -234,6 +234,33 @@ def make_collect(
             variables = {"params": params, "batch_stats": batch_stats}
         hidden0 = hidden  # hidden entering step 0 -> rollout slot 0
 
+        # Per-rollout visual-feature bank: params are frozen across the T
+        # collected steps, so the pol-net conv stack over the S*V*4 distinct
+        # poses can run ONCE as a single batch, and the scan gathers a
+        # (N, hidden) row per step. Only when the pose count does not exceed
+        # the N*T per-step evaluations it replaces (static shapes decide).
+        vis_bank = None
+        frame_bank = dev.rgb_bank if dev.rgb_bank is not None else dev.depth_bank
+        if frame_bank is not None:
+            n_envs = masks.shape[0]
+            s, v = frame_bank.shape[0], frame_bank.shape[1]
+            if s * v * 4 <= n_envs * t_steps:
+                flat = lambda b: (
+                    None if b is None
+                    else b.reshape((-1,) + b.shape[3:])
+                )
+                vis_bank = policy.apply(
+                    variables, flat(dev.rgb_bank), flat(dev.depth_bank),
+                    method=Move2HearPolicy.visual_features,
+                )
+
+        def with_vis(obs, obs_idx):
+            if vis_bank is None:
+                return obs
+            v = frame_bank.shape[1]
+            pose = (obs_idx.scene_idx * v + obs_idx.node) * 4 + obs_idx.rot_idx
+            return {**obs, "visual_feats": vis_bank[pose]}
+
         def step_fn(carry, rng_t):
             env_state, hidden, masks, prev_mem_masked = carry
             obs_idx = observe(dev.episodes, env_state)
@@ -244,7 +271,8 @@ def make_collect(
                 policy, variables, obs, prev_mem_masked
             )
             act: ActOutput = policy.apply(
-                variables, obs, hidden, masks, pred_masks, pred_mono, pred_mem,
+                variables, with_vis(obs, obs_idx), hidden, masks,
+                pred_masks, pred_mono, pred_mem,
                 rng_t, False, method=Move2HearPolicy.act,
             )
 
@@ -326,7 +354,8 @@ def make_collect(
         obs_T = _obs_from_sensors(sensors_T, gt_mono_mag_norm)
         pm_T, mono_T, mem_T = _forward(policy, variables, obs_T, prev_mem_masked)
         value_T = policy.apply(
-            variables, obs_T, hidden, masks, pm_T, mono_T, mem_T,
+            variables, with_vis(obs_T, obs_idx_T), hidden, masks,
+            pm_T, mono_T, mem_T,
             method=Move2HearPolicy.get_value,
         )
         gt_T = obs_T["gt_mono_comps"][..., 0::2][..., :1]
