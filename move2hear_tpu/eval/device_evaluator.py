@@ -134,6 +134,29 @@ def make_device_eval(
         n = env_state.node.shape[0]
         hid = policy.hidden_size
 
+        # per-eval visual-feature banks (params frozen for the whole batch;
+        # one conv batch over the S*V*4 poses per policy — see
+        # rl/device_rollout.py:make_collect for the same pattern)
+        vis_nav = vis_qi = None
+        frame_bank = (
+            dev.rgb_bank if dev.rgb_bank is not None else dev.depth_bank
+        )
+        if frame_bank is not None:
+            s_sc, v_nodes = frame_bank.shape[0], frame_bank.shape[1]
+            if s_sc * v_nodes * 4 <= n * max_episode_steps:
+                flat = lambda b: (
+                    None if b is None else b.reshape((-1,) + b.shape[3:])
+                )
+                vis_nav = policy.apply(
+                    v_nav, flat(dev.rgb_bank), flat(dev.depth_bank),
+                    method=Move2HearPolicy.visual_features,
+                )
+                if switch_policy:
+                    vis_qi = policy.apply(
+                        v_qi, flat(dev.rgb_bank), flat(dev.depth_bank),
+                        method=Move2HearPolicy.visual_features,
+                    )
+
         def step_fn(carry, inp):
             env_state, hidden_nav, hidden_qi, masks, prev_mem = carry
             step_i, rng_t = inp
@@ -168,6 +191,14 @@ def make_device_eval(
             if "depth" in sensors:
                 obs["depth"] = sensors["depth"]
 
+            def with_vis(bank):
+                if bank is None:
+                    return obs
+                pose = (
+                    obs_idx.scene_idx * frame_bank.shape[1] + obs_idx.node
+                ) * 4 + obs_idx.rot_idx
+                return {**obs, "visual_feats": bank[pose]}
+
             use_nav = jnp.logical_or(
                 jnp.logical_not(switch_policy), step_i < time_thres
             )
@@ -176,7 +207,8 @@ def make_device_eval(
                 def run_nav(_):
                     pm, mono, mem = forward(v_nav, obs, prev_mem)
                     act = policy.apply(
-                        v_nav, obs, hidden_nav, masks, pm, mono, mem, rng_t,
+                        v_nav, with_vis(vis_nav), hidden_nav, masks,
+                        pm, mono, mem, rng_t,
                         deterministic, method=Move2HearPolicy.act,
                     )
                     return pm, mono, mem, act
@@ -184,7 +216,8 @@ def make_device_eval(
                 def run_qi(_):
                     pm, mono, mem = forward(v_qi, obs, prev_mem)
                     act = policy.apply(
-                        v_qi, obs, hidden_qi, masks, pm, mono, mem, rng_t,
+                        v_qi, with_vis(vis_qi), hidden_qi, masks,
+                        pm, mono, mem, rng_t,
                         deterministic, method=Move2HearPolicy.act,
                     )
                     return pm, mono, mem, act
@@ -201,7 +234,8 @@ def make_device_eval(
             else:
                 pm, mono, mem = forward(v_nav, obs, prev_mem)
                 act = policy.apply(
-                    v_nav, obs, hidden_nav, masks, pm, mono, mem, rng_t,
+                    v_nav, with_vis(vis_nav), hidden_nav, masks,
+                    pm, mono, mem, rng_t,
                     deterministic, method=Move2HearPolicy.act,
                 )
                 hidden_nav_new, hidden_qi_new = act.hidden, hidden_qi
