@@ -44,10 +44,24 @@ def _rfft_matmul(frames: jnp.ndarray, n: int) -> jnp.ndarray:
     convolution emitter: for the n_fft=1023 (= 3*11*31) binaural STFT it
     measured ~23% of the entire collect scan step. The explicit
     (M, n) @ (n, n//2+1) DFT matmuls are ~6x faster at these frame counts
-    and keep full f32 accuracy (angle-reduced matrices)."""
+    and keep full f32 accuracy (angle-reduced matrices).
+
+    Precision: TPU Precision.DEFAULT would run the f32 dot as a single
+    bf16 multiply pass (preferred_element_type only pins the accumulator),
+    silently degrading the spectrograms that feed observations and eval
+    metrics. Precision.HIGHEST (6-pass bf16, f32-equivalent) keeps the
+    matmul bit-comparable to jnp.fft.rfft; scripts/ondevice_stft_check.py
+    is the on-device accuracy + speed check against the FFT."""
     cos_m, sin_m = _dft_mats(n)
-    re = jnp.dot(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(
+        frames, jnp.asarray(cos_m),
+        precision=hi, preferred_element_type=jnp.float32,
+    )
+    im = jnp.dot(
+        frames, jnp.asarray(sin_m),
+        precision=hi, preferred_element_type=jnp.float32,
+    )
     return jax.lax.complex(re, im)
 
 
