@@ -30,7 +30,11 @@ from move2hear_tpu.ops.spec import masked_mix
 from move2hear_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from move2hear_tpu.pretrain.dataset import PassiveDataSource, SyntheticPassiveSource
 from move2hear_tpu.rl.base_trainer import BaseTrainer
-from move2hear_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from move2hear_tpu.utils.checkpoint import (
+    load_checkpoint,
+    load_checkpoint_if_compatible,
+    save_checkpoint,
+)
 from move2hear_tpu.utils.registry import registry
 
 logger = logging.getLogger(__name__)
@@ -228,18 +232,26 @@ class PassiveTrainer(BaseTrainer):
         start_epoch = 0
         cand = interrupted_state_path(self.config.JOB_ID, self._interrupt_scope())
         if os.path.exists(cand):
-            ckpt = load_checkpoint(
+            ckpt = load_checkpoint_if_compatible(
                 cand,
                 targets={
                     "params": params, "batch_stats": batch_stats,
                     "opt_state": opt_state,
                 },
             )
-            params = replicate(self._mesh, ckpt["params"])
-            batch_stats = replicate(self._mesh, ckpt["batch_stats"])
-            opt_state = replicate(self._mesh, ckpt["opt_state"])
-            start_epoch = int(ckpt["extra_state"]["epoch"]) + 1
-            logger.info("resumed interrupted pretrain at epoch %d", start_epoch)
+            if ckpt is not None:
+                params = replicate(self._mesh, ckpt["params"])
+                batch_stats = replicate(self._mesh, ckpt["batch_stats"])
+                opt_state = replicate(self._mesh, ckpt["opt_state"])
+                start_epoch = int(ckpt["extra_state"]["epoch"]) + 1
+                logger.info(
+                    "resumed interrupted pretrain at epoch %d", start_epoch
+                )
+            else:
+                logger.warning(
+                    "ignoring interrupted state %s: parameter tree does not "
+                    "match this config", cand,
+                )
 
         for epoch in range(start_epoch, self._num_epochs):
             if EXIT.is_set():

@@ -71,3 +71,33 @@ def load_checkpoint(path: str, targets: Optional[Dict[str, Any]] = None) -> Dict
         else:
             out[k] = flax.serialization.msgpack_restore(v)
     return out
+
+
+def load_checkpoint_if_compatible(
+    path: str, targets: Dict[str, Any], shape_key: str = "params"
+) -> Optional[Dict[str, Any]]:
+    """Auto-resume loader: returns None instead of raising when the snapshot
+    does not fit this config.
+
+    flax.serialization.from_bytes raises ValueError on tree STRUCTURE
+    mismatch (e.g. a stale snapshot from a config with a different
+    use_ddppo/BatchNorm or sensor set has different param keys) *before* any
+    shape gate can run — so the structural check has to happen on the
+    untyped msgpack restore first, then shapes, and only then the typed
+    restore. An explicit RESUME_CKPT should NOT go through this: a
+    user-requested resume that does not fit must fail loudly."""
+    try:
+        raw = load_checkpoint(path)  # untyped: never structure-checks
+    except Exception:
+        return None  # truncated/corrupt snapshot: skip, train fresh
+    for k, template in targets.items():
+        if template is None or k not in raw:
+            continue
+        if not tree_shapes_match(
+            flax.serialization.to_state_dict(template), raw[k]
+        ):
+            return None
+    try:
+        return load_checkpoint(path, targets=targets)
+    except (ValueError, KeyError, TypeError):
+        return None

@@ -40,6 +40,57 @@ def test_save_load_roundtrip_respects_scope(monkeypatch, tmp_path):
     assert got is not None and got["extra_state"]["update_count"] == 3
 
 
+def test_load_if_compatible_rejects_structure_mismatch(tmp_path):
+    """A stale snapshot with a *different tree structure* (extra/missing
+    param keys, e.g. use_ddppo toggling BatchNorm) must be skipped, not
+    crash in flax.serialization.from_bytes before the shape gate runs."""
+    from move2hear_tpu.utils.checkpoint import (
+        load_checkpoint_if_compatible,
+        save_checkpoint,
+    )
+
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(
+        path,
+        {
+            "params": {"enc": {"kernel": np.ones((3, 3), np.float32)}},
+            "extra_state": {"update_count": 7},
+        },
+    )
+    # same structure + shapes: adopted
+    ok = load_checkpoint_if_compatible(
+        path, targets={"params": {"enc": {"kernel": jnp.zeros((3, 3))}}}
+    )
+    assert ok is not None and ok["extra_state"]["update_count"] == 7
+    # different key set: ValueError inside from_bytes without the pre-check
+    assert (
+        load_checkpoint_if_compatible(
+            path,
+            targets={
+                "params": {"enc": {"kernel": jnp.zeros((3, 3))},
+                           "bn": {"scale": jnp.zeros((3,))}}
+            },
+        )
+        is None
+    )
+    # different leaf shape: also skipped
+    assert (
+        load_checkpoint_if_compatible(
+            path, targets={"params": {"enc": {"kernel": jnp.zeros((4, 3))}}}
+        )
+        is None
+    )
+    # corrupt file: skipped, not raised
+    with open(path, "wb") as f:
+        f.write(b"not a pickle")
+    assert (
+        load_checkpoint_if_compatible(
+            path, targets={"params": {"enc": {"kernel": jnp.zeros((3, 3))}}}
+        )
+        is None
+    )
+
+
 def test_tree_shapes_match():
     a = {"conv": {"kernel": jnp.zeros((8, 8, 3, 32))}}
     b = {"conv": {"kernel": jnp.zeros((8, 8, 4, 32))}}
