@@ -8,6 +8,7 @@ device-resident array can be indexed by the rollout loop. Unreadable/empty
 RIRs resolve to zeros (simulator_train.py:407-415)."""
 
 import os
+import zlib
 from typing import Dict, List, Optional, Protocol, Tuple
 
 import numpy as np
@@ -81,7 +82,10 @@ class SyntheticAudioDB:
         key = (scene, int(azimuth), int(receiver), int(source))
         if key in self._rir_cache:
             return self._rir_cache[key]
-        seed = abs(hash(key)) % (2**32)
+        # stable across processes: Python's str/tuple hash() is randomized
+        # per process (PYTHONHASHSEED), which made synthetic RIRs — and thus
+        # rewards/metrics — differ between ranks and between runs
+        seed = zlib.crc32(repr(key).encode()) & 0xFFFFFFFF
         rng = np.random.default_rng(seed)
         rir = np.zeros((self.rir_length, 2), np.float32)
         dist = abs(int(receiver) - int(source)) + 1

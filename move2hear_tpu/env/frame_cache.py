@@ -5,6 +5,7 @@ path that replaces the habitat-sim C++ renderer at train time
 
 import os
 import pickle
+import zlib
 from typing import Dict, Protocol, Tuple
 
 import numpy as np
@@ -26,7 +27,8 @@ class SyntheticFrameCache:
     def get(self, scene, node, rotation):
         key = (scene, int(node), int(rotation) % 360)
         if key not in self._cache:
-            seed = abs(hash(key)) % (2**32)
+            # stable across processes (hash() is PYTHONHASHSEED-randomized)
+            seed = zlib.crc32(repr(key).encode()) & 0xFFFFFFFF
             rng = np.random.default_rng(seed)
             yy, xx = np.mgrid[0 : self._h, 0 : self._w].astype(np.float32)
             base = (

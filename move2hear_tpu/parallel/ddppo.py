@@ -78,6 +78,28 @@ def init_distributed(master_addr: str = "127.0.0.1", master_port: int = 8738):
     return local_rank, world_rank, world_size
 
 
+def coordination_barrier(tag: str, timeout_s: float = 900.0):
+    """Align all processes at a named coordination-service barrier (no
+    XLA collective, no compilation — the coordinator's own barrier RPC).
+
+    Used around first-call compiles in multi-process runs: XLA:CPU's gloo
+    context initialization aborts if the peers' first executions of a
+    collective start >30 s apart (hardcoded KV timeout), and on a
+    single-core host two processes compiling the same large program are
+    routinely scheduled that far apart. Aligning the ranks at the call that
+    triggers each compile keeps the execution-start skew to scheduler noise.
+    No-op when single-process or when jax.distributed was never initialized."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(f"m2h_{tag}", int(timeout_s * 1000))
+
+
 # --- num_done store ----------------------------------------------------------
 
 class NumDoneStore:

@@ -38,9 +38,14 @@ def _put(x: Any, sharding: NamedSharding) -> Any:
     (the gap VERDICT r2 item 4 flagged; torch analog: each DDP rank feeds
     its local batch, ddppo_utils.py:117-165). Smoke-tested with 2 real CPU
     processes in tests/test_multihost.py."""
-    if jax.process_count() > 1 and not isinstance(x, jax.Array):
+    if jax.process_count() > 1:
         import numpy as _np
 
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already assembled on the global mesh
+        # process-LOCAL jax.Arrays (e.g. env state built by local jnp ops)
+        # must come back to host first: a bare device_put of a local array
+        # onto a sharding that spans non-addressable devices is invalid
         return jax.make_array_from_process_local_data(
             sharding, _np.asarray(x)
         )
@@ -66,6 +71,27 @@ def shard_rollouts(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
         lambda x: _put(x, env_sh if getattr(x, "ndim", 0) >= 2 else rep),
         tree,
     )
+
+
+def fetch_to_host(mesh: Mesh, tree: Any) -> Any:
+    """device_get that also works for env-SHARDED arrays in multi-process
+    runs: non-fully-addressable, non-replicated arrays are first resharded to
+    a replicated layout via a jitted identity (one XLA all-gather over ICI /
+    DCN), then fetched. Every process must call this together (it compiles a
+    collective) — the trainer's stats flush does (same loop, same cadence).
+    Single-process: plain jax.device_get."""
+    if jax.process_count() <= 1:
+        return jax.device_get(tree)
+    rep = NamedSharding(mesh, P())
+
+    def pull(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            x = jax.jit(lambda a: a, out_shardings=rep)(x)
+        return jax.device_get(x)
+
+    return jax.tree.map(pull, tree)
 
 
 def shard_env_batch(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:

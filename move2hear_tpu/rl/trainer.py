@@ -43,6 +43,7 @@ from move2hear_tpu.models.policy import ActOutput, Move2HearPolicy
 from move2hear_tpu.ops.frontend import render_binaural_mixture
 from move2hear_tpu.parallel.ddppo import RolloutSyncState, get_distrib_info
 from move2hear_tpu.parallel.mesh import (
+    fetch_to_host,
     make_mesh,
     replicate,
     shard_env_batch,
@@ -67,6 +68,7 @@ from move2hear_tpu.rl.rollout import (
 )
 from move2hear_tpu.utils.checkpoint import (
     load_checkpoint,
+    load_checkpoint_if_compatible,
     save_checkpoint,
     tree_shapes_match as _tree_shapes_match,
 )
@@ -380,7 +382,7 @@ class PPOTrainer(BaseRLTrainer):
 
         cand = interrupted_state_path(cfg.JOB_ID, self._interrupt_scope())
         if os.path.exists(cand):
-            ckpt = load_checkpoint(
+            ckpt = load_checkpoint_if_compatible(
                 cand,
                 targets={
                     "params": state.params,
@@ -389,7 +391,7 @@ class PPOTrainer(BaseRLTrainer):
                     "opt_state_sep": state.opt_state_sep,
                 },
             )
-            if _tree_shapes_match(state.params, ckpt["params"]):
+            if ckpt is not None:
                 state = state.replace(
                     params=ckpt["params"],
                     batch_stats=ckpt.get("batch_stats") or {},
@@ -405,7 +407,7 @@ class PPOTrainer(BaseRLTrainer):
                 )
             else:
                 logger.warning(
-                    "ignoring interrupted state %s: parameter shapes do not "
+                    "ignoring interrupted state %s: parameter tree does not "
                     "match this config", cand,
                 )
 
@@ -888,13 +890,21 @@ class PPOTrainer(BaseRLTrainer):
         )
         self.actor_critic = policy
 
+        # Multi-process DDPPO: n_envs is the PER-RANK env count (the
+        # reference's NUM_PROCESSES per GPU rank); the global batch is
+        # world_size * n_envs envs sharded over the global device mesh.
+        # Episode order is drawn GLOBALLY (one table over all ranks' envs,
+        # seeded by cfg.SEED alone) and each rank contributes its row slice —
+        # the same global-split-then-slice scheme _make_envs uses for scenes.
+        n_global = n_envs * world_size
+
         dev = de.build_device_bundle(
             bundle,
             precompute_rir_rfft=bool(cfg.TPU.get("PRECOMPUTE_RIR_RFFT", False)),
         )
         order = de.make_order_table(
-            n_envs, len(bundle.episodes), cfg.SEED + world_rank
-        )
+            n_global, len(bundle.episodes), cfg.SEED
+        )[world_rank * n_envs : (world_rank + 1) * n_envs]
         env_state = de.env_reset_all(dev.scene, dev.episodes, jnp.asarray(order))
 
         init_obs = {
@@ -911,7 +921,13 @@ class PPOTrainer(BaseRLTrainer):
             init_obs["depth"] = jnp.zeros((n_envs, 128, 128, 1))
             pol_sensors.append("depth")
 
-        key = jax.random.PRNGKey(cfg.SEED + world_rank)
+        # Rank-INDEPENDENT seed: params must be bit-identical across ranks
+        # (they are replicated over the global mesh — the analog of DDP's
+        # rank-0 broadcast at wrap time), and the per-cycle keys feed one
+        # GLOBAL jitted program, so every rank must pass the same key.
+        # Per-env randomness still diverges inside the program: threefry
+        # derives bits from each element's global array position.
+        key = jax.random.PRNGKey(cfg.SEED)
         variables = policy.init(
             key, init_obs, jnp.zeros((n_envs, p.hidden_size)), jnp.ones((n_envs, 1))
         )
@@ -930,23 +946,24 @@ class PPOTrainer(BaseRLTrainer):
                 resume_path = cand
                 auto_resume = True
         if resume_path and os.path.exists(resume_path):
-            ckpt = load_checkpoint(
-                resume_path,
-                targets={
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state_pol": state.opt_state_pol,
-                    "opt_state_sep": state.opt_state_sep,
-                },
-            )
-            if auto_resume and not _tree_shapes_match(state.params, ckpt["params"]):
-                # a stale snapshot from a different model config (an explicit
-                # RESUME_CKPT mismatch should fail loudly instead)
-                logger.warning(
-                    "ignoring interrupted state %s: parameter shapes do not "
-                    "match this config", resume_path,
-                )
-                ckpt = None
+            targets = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state_pol": state.opt_state_pol,
+                "opt_state_sep": state.opt_state_sep,
+            }
+            if auto_resume:
+                # a stale snapshot from a different model config must be
+                # skipped, not crash the trainer (an explicit RESUME_CKPT
+                # mismatch should still fail loudly below)
+                ckpt = load_checkpoint_if_compatible(resume_path, targets)
+                if ckpt is None:
+                    logger.warning(
+                        "ignoring interrupted state %s: parameter tree does "
+                        "not match this config", resume_path,
+                    )
+            else:
+                ckpt = load_checkpoint(resume_path, targets=targets)
         if resume_path and ckpt is not None:
             state = state.replace(
                 params=ckpt["params"],
@@ -984,7 +1001,7 @@ class PPOTrainer(BaseRLTrainer):
             if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
             action_codes, tuple(pol_sensors),
         )
-        update_pol_fn = make_update_pol(policy, ppo_cfg, n_envs)
+        update_pol_fn = make_update_pol(policy, ppo_cfg, n_global)
         fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
         pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
         # Preemptive rollout sync on the device path (ppo_trainer.py:769-782):
@@ -1008,13 +1025,16 @@ class PPOTrainer(BaseRLTrainer):
         # make_update_sep_from_slabs)
         from move2hear_tpu.rl.device_rollout import make_update_sep_from_slabs
 
-        refit_dtype = (
-            jnp.bfloat16
-            if cfg.TPU.get("SEP_REFIT_DTYPE", "") == "bfloat16"
-            else None
-        )
+        refit_dtype_name = cfg.TPU.get("SEP_REFIT_DTYPE", "")
+        if refit_dtype_name not in ("", "bfloat16", "float32"):
+            # a typo'd value must not silently disable the optimization
+            raise ValueError(
+                f"TPU.SEP_REFIT_DTYPE={refit_dtype_name!r}: expected "
+                "'bfloat16', 'float32', or '' (policy dtype)"
+            )
+        refit_dtype = jnp.bfloat16 if refit_dtype_name == "bfloat16" else None
         update_sep_fn_cycle = make_update_sep_from_slabs(
-            policy, ppo_cfg, n_envs, cycle,
+            policy, ppo_cfg, n_global, cycle,
             with_validity=sync_dev is not None,
             refit_dtype=refit_dtype,
         )
@@ -1089,12 +1109,21 @@ class PPOTrainer(BaseRLTrainer):
         n_dev = len(mesh.devices.flat)
         self._mesh = mesh
         self._env_sharded = False
+        multiproc = jax.process_count() > 1
+        if multiproc and n_global % n_dev != 0:
+            raise ValueError(
+                f"multi-process run needs the global env count "
+                f"({n_global} = {world_size} ranks x NUM_PROCESSES={n_envs}) "
+                f"divisible by the {n_dev}-device mesh"
+            )
         if n_dev > 1:
             # the bundle is now a jit ARGUMENT (see make_collect): replicate
             # its banks over the mesh explicitly (closure constants used to
-            # get this placement implicitly)
+            # get this placement implicitly). In multi-process runs the
+            # _put helper assembles globals from each rank's local slice
+            # (env-sharded leaves) / full copy (replicated leaves).
             dev = replicate(mesh, dev)
-            if n_envs % n_dev == 0:
+            if n_global % n_dev == 0:
                 axis = cfg.TPU.AXIS_NAME
                 env_state = shard_env_batch(mesh, env_state, axis)
                 hidden = shard_env_batch(mesh, hidden, axis)
@@ -1117,7 +1146,8 @@ class PPOTrainer(BaseRLTrainer):
             )
         }
         cur_ep = {
-            k: np.zeros((n_envs,)) for k in ("reward", "step", "bin", "mono", "mem")
+            k: np.zeros((n_global,))
+            for k in ("reward", "step", "bin", "mono", "mem")
         }
         probs_win = deque(maxlen=win)
 
@@ -1127,6 +1157,10 @@ class PPOTrainer(BaseRLTrainer):
         self._steady_t0 = None
         self._steady_steps0 = 0
         self.steady_fps = 0.0
+        # per-cycle (pol, sep) loss stacks in update order; global means, so
+        # topology-independent up to reduction order (multi-host test oracle)
+        self._loss_log = []
+        self._stats_log = []
         num_cycles = max(1, (cfg.NUM_UPDATES - resume_count) // cycle)
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
 
@@ -1148,9 +1182,15 @@ class PPOTrainer(BaseRLTrainer):
         pending = []  # (env_steps_after, update_count_after, packed, pol, sep)
 
         profile_dir = cfg.get("PROFILE_DIR", "")
+        from move2hear_tpu.parallel.ddppo import coordination_barrier
+
         for cycle_idx in range(num_cycles):
             if profile_dir and cycle_idx == 2:
                 jax.profiler.start_trace(profile_dir)
+            if multiproc and cycle_idx < 3:
+                # first cycles trigger the big compiles; align ranks so the
+                # gloo context init sees both executions within its window
+                coordination_barrier(f"cycle{cycle_idx}")
             key, cycle_key = jax.random.split(key)
             if fused:
                 (
@@ -1215,6 +1255,9 @@ class PPOTrainer(BaseRLTrainer):
                             out.prev_mem_masked,
                         )
                         sep_slab, stats = out.sep_slab, out.stats
+                        if multiproc and cycle_idx == 0 and sub == 0:
+                            # first collective-bearing compile (grad psum)
+                            coordination_barrier("first_pol_update")
                         state, losses_t = update_pol(
                             state, out.rollouts_pol, rng_u, lr_scale,
                             clip_scale,
@@ -1248,6 +1291,8 @@ class PPOTrainer(BaseRLTrainer):
                     # lengths: concatenate on the step axis (one transfer)
                     packed = jnp.concatenate(stats_list, axis=0)[None]
                 else:
+                    if multiproc and cycle_idx == 0:
+                        coordination_barrier("first_sep_update")
                     state, sep_losses = update_sep_cached(
                         state, sep_buf,
                         jax.random.fold_in(cycle_key, 999), sep_lrs,
@@ -1258,9 +1303,9 @@ class PPOTrainer(BaseRLTrainer):
 
             update_count += cycle
             if not fused and sync_dev is not None:
-                total_env_steps += sep_fill * n_envs
+                total_env_steps += sep_fill * n_global
             else:
-                total_env_steps += cycle * t_steps * n_envs
+                total_env_steps += cycle * t_steps * n_global
             pending.append(
                 (total_env_steps, update_count, packed, pol_dev, sep_dev)
             )
@@ -1272,7 +1317,13 @@ class PPOTrainer(BaseRLTrainer):
                 or bool(profile_dir and cycle_idx in (2, 3))
             )
             if flush:
-                fetched = jax.device_get([e[2:] for e in pending])
+                # multi-process: env-sharded stat slabs are all-gathered to
+                # replicated before the host fetch (fetch_to_host compiles a
+                # collective identity — every rank flushes on the same cycle,
+                # so the collective is entered together)
+                if multiproc and cycle_idx < 3:
+                    coordination_barrier(f"flush{cycle_idx}")
+                fetched = fetch_to_host(mesh, [e[2:] for e in pending])
                 for (steps_at, upd_at, *_), (st_packed, pol_h, sep_h) in zip(
                     pending, fetched
                 ):
@@ -1283,6 +1334,9 @@ class PPOTrainer(BaseRLTrainer):
                     self._absorb_stats(st_flat, windows, cur_ep, t_steps)
                     probs_win.append(st_flat["probs"].mean(axis=(0, 1)))
                     pol_h, sep_h = np.asarray(pol_h), np.asarray(sep_h)
+                    self._loss_log.append((pol_h, sep_h))
+                    if len(self._stats_log) < 2:
+                        self._stats_log.append(st_flat)
                     value_loss, action_loss, entropy = pol_h[-1]
                     bin_loss, mono_loss, mem_loss = sep_h[-1]
                     if world_rank == 0:

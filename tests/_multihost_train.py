@@ -1,0 +1,83 @@
+"""Subprocess body for the trainer-level multi-host test
+(tests/test_multihost.py::test_two_process_full_trainer): run the FULL
+device-path PPOTrainer.train() as one rank of a multi-process jax world
+(2 real processes x 4 virtual CPU devices each), then dump this rank's view
+of the final parameters.
+
+Mirrors main.py's dispatch exactly (config -> registry -> init_distributed ->
+add_signal_handlers -> trainer.train()) and adds only the params dump — the
+reference analog is an 8-rank DDPPO launch where every rank's DDP-wrapped
+model must hold identical weights after training (rl/ppo/ddppo_utils.py:
+117-165, rl/ppo/ppo.py:286-319).
+
+Usage:
+    python _multihost_train.py <out_npz> <model_dir> [opts...]
+with RANK / WORLD_SIZE / LOCAL_RANK / MASTER_ADDR / MASTER_PORT and the CPU
+device-count XLA flag already in the environment (single-process when
+WORLD_SIZE is unset).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+# the axon TPU plugin (sitecustomize) wins over the env var; force CPU
+# through jax.config too (same workaround as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    out_npz, model_dir, *opts = sys.argv[1:]
+
+    from move2hear_tpu.config import get_config
+    from move2hear_tpu.parallel.ddppo import (
+        add_signal_handlers,
+        init_distributed,
+    )
+    from move2hear_tpu.utils.registry import registry
+
+    import move2hear_tpu.rl.trainer  # noqa: F401  (self-registers)
+
+    config = get_config(None, list(opts), model_dir, "train")
+    trainer_cls = registry.get_trainer(config.TRAINER_NAME)
+    init_distributed(config.RL.PPO.master_addr, config.RL.PPO.master_port)
+    add_signal_handlers()
+
+    if "WORLD_SIZE" in os.environ:
+        assert jax.process_count() == int(os.environ["WORLD_SIZE"])
+
+    trainer = trainer_cls(config)
+    trainer.train()
+
+    import flax.serialization
+
+    params = jax.device_get(trainer._final_state.params)
+    flat = {
+        "/".join(str(k) for k in path): np.asarray(leaf)
+        for path, leaf in flax.traverse_util.flatten_dict(
+            flax.serialization.to_state_dict(params)
+        ).items()
+    }
+    # first-cycle losses: global means over identical pre-divergence inputs,
+    # the topology-equality oracle (params after Adam steps only bound to ~lr)
+    flat["__loss_pol__"] = np.asarray(trainer._loss_log[0][0])
+    flat["__loss_sep__"] = np.asarray(trainer._loss_log[0][1])
+    for i, st in enumerate(trainer._stats_log):
+        for k, v in st.items():
+            flat[f"__st{i}_{k}__"] = np.asarray(v)
+    np.savez(out_npz, **flat)
+    print(f"TRAIN-OK {jax.process_index()} leaves={len(flat)}", flush=True)
+
+
+if __name__ == "__main__":
+    import flax.traverse_util  # noqa: F401  (import check before training)
+
+    main()
