@@ -66,7 +66,7 @@ def main():
         dt = (time.perf_counter() - t0) / 20
         print(f"{name}: {dt * 1e3:.2f} ms/call")
 
-    assert abs_err / scale < 1e-5, "DFT-matmul STFT deviates from FFT on-device"
+    assert abs_err / scale < 5e-5, "DFT-matmul STFT deviates from FFT on-device"
     print("OK")
 
 
