@@ -896,7 +896,16 @@ class PPOTrainer(BaseRLTrainer):
         # Episode order is drawn GLOBALLY (one table over all ranks' envs,
         # seeded by cfg.SEED alone) and each rank contributes its row slice —
         # the same global-split-then-slice scheme _make_envs uses for scenes.
+        #
+        # Two "world" sizes exist on purpose: `world_size` is the DDPPO
+        # rendezvous world (SLURM/env-derived, drives the num-done store,
+        # episode split and aggregate step accounting), while the env-row
+        # count the jitted programs and the mesh actually SEE is
+        # n_envs * jax.process_count() (`n_prog`). They coincide in real
+        # runs; tests may mock a larger store world on one jax process
+        # (ppo_trainer.py:769-782 semantics need world > 1).
         n_global = n_envs * world_size
+        n_prog = n_envs * jax.process_count()
 
         dev = de.build_device_bundle(
             bundle,
@@ -1001,7 +1010,7 @@ class PPOTrainer(BaseRLTrainer):
             if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
             action_codes, tuple(pol_sensors),
         )
-        update_pol_fn = make_update_pol(policy, ppo_cfg, n_global)
+        update_pol_fn = make_update_pol(policy, ppo_cfg, n_prog)
         fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
         pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
         # Preemptive rollout sync on the device path (ppo_trainer.py:769-782):
@@ -1034,7 +1043,7 @@ class PPOTrainer(BaseRLTrainer):
             )
         refit_dtype = jnp.bfloat16 if refit_dtype_name == "bfloat16" else None
         update_sep_fn_cycle = make_update_sep_from_slabs(
-            policy, ppo_cfg, n_global, cycle,
+            policy, ppo_cfg, n_prog, cycle,
             with_validity=sync_dev is not None,
             refit_dtype=refit_dtype,
         )
@@ -1110,11 +1119,11 @@ class PPOTrainer(BaseRLTrainer):
         self._mesh = mesh
         self._env_sharded = False
         multiproc = jax.process_count() > 1
-        if multiproc and n_global % n_dev != 0:
+        if multiproc and n_prog % n_dev != 0:
             raise ValueError(
                 f"multi-process run needs the global env count "
-                f"({n_global} = {world_size} ranks x NUM_PROCESSES={n_envs}) "
-                f"divisible by the {n_dev}-device mesh"
+                f"({n_prog} = {jax.process_count()} processes x "
+                f"NUM_PROCESSES={n_envs}) divisible by the {n_dev}-device mesh"
             )
         if n_dev > 1:
             # the bundle is now a jit ARGUMENT (see make_collect): replicate
@@ -1123,7 +1132,7 @@ class PPOTrainer(BaseRLTrainer):
             # _put helper assembles globals from each rank's local slice
             # (env-sharded leaves) / full copy (replicated leaves).
             dev = replicate(mesh, dev)
-            if n_global % n_dev == 0:
+            if n_prog % n_dev == 0:
                 axis = cfg.TPU.AXIS_NAME
                 env_state = shard_env_batch(mesh, env_state, axis)
                 hidden = shard_env_batch(mesh, hidden, axis)
@@ -1146,7 +1155,7 @@ class PPOTrainer(BaseRLTrainer):
             )
         }
         cur_ep = {
-            k: np.zeros((n_global,))
+            k: np.zeros((n_prog,))
             for k in ("reward", "step", "bin", "mono", "mem")
         }
         probs_win = deque(maxlen=win)
