@@ -143,6 +143,14 @@ def default_config() -> Config:
     # acoustic-memory refit grad steps only (params, Adam state and the L1
     # loss stay float32) — ~25% faster refit on the MXU at a small numerics
     # delta; "" keeps the policy compute dtype (exact reference semantics)
+    c.TPU.SUB_BANK_ROWS = 0  # episode-keyed RIR sub-bank slots (sub mode,
+    # env/sub_bank.py); 0 = auto-size from envs x sources x window overlap
+    c.TPU.SUB_BANK_DTYPE = "float32"  # or "bfloat16": sub-bank slab storage
+    # dtype — halves both HBM and the per-rollout host->device row uploads;
+    # render math stays float32 (rows are cast after the per-step gather)
+    c.TPU.REPORT_MFU = False  # probe exact per-cycle FLOPs at startup (six
+    # extra compiles, no executions) and expose trainer.mfu_info — bench.py
+    # combines it with the measured steps/s into an auditable MFU figure
 
     c.TASK_CONFIG = default_task_config()
     return c

@@ -82,6 +82,12 @@ class SyntheticAudioDB:
         key = (scene, int(azimuth), int(receiver), int(source))
         if key in self._rir_cache:
             return self._rir_cache[key]
+        rir = self._make_rir(key)
+        self._rir_cache[key] = rir
+        return rir
+
+    def _make_rir(self, key):
+        scene, azimuth, receiver, source = key
         # stable across processes: Python's str/tuple hash() is randomized
         # per process (PYTHONHASHSEED), which made synthetic RIRs — and thus
         # rewards/metrics — differ between ranks and between runs
@@ -103,8 +109,19 @@ class SyntheticAudioDB:
             rir[taps, ear] = (amps * rng.choice([-1, 1], n_taps) * ear_gain).astype(
                 np.float32
             )
-        self._rir_cache[key] = rir
         return rir
+
+    def get_rir_block(self, scene, azimuth, source, num_receivers):
+        """(num_receivers, R, 2) all-receiver column for one (scene, azimuth,
+        source) — the episode-keyed sub-bank assembly path. Bypasses the
+        per-key cache: a sub-bank row is ~V x R x 2 floats, and caching every
+        element would grow the host cache without bound across rollouts."""
+        out = np.empty((num_receivers, self.rir_length, 2), np.float32)
+        for recv in range(num_receivers):
+            key = (scene, int(azimuth), int(recv), int(source))
+            cached = self._rir_cache.get(key)
+            out[recv] = cached if cached is not None else self._make_rir(key)
+        return out
 
 
 class FileAudioDB:
@@ -164,6 +181,12 @@ class FileAudioDB:
         key = (scene, int(azimuth), int(receiver), int(source))
         if key in self._rir_cache:
             return self._rir_cache[key]
+        out = self._read_rir(key)
+        self._rir_cache[key] = out
+        return out
+
+    def _read_rir(self, key):
+        scene, azimuth, receiver, source = key
         path = os.path.join(
             self._rir_dir, scene, str(int(azimuth)), f"{int(receiver)}_{int(source)}.wav"
         )
@@ -180,5 +203,14 @@ class FileAudioDB:
         out = np.zeros((self.rir_length, 2), np.float32)
         n = min(len(rir), self.rir_length)
         out[:n] = rir[:n]
-        self._rir_cache[key] = out
+        return out
+
+    def get_rir_block(self, scene, azimuth, source, num_receivers):
+        """(num_receivers, R, 2) all-receiver column, cache-bypassing (the
+        sub-bank row assembly path; see SyntheticAudioDB.get_rir_block)."""
+        out = np.empty((num_receivers, self.rir_length, 2), np.float32)
+        for recv in range(num_receivers):
+            key = (scene, int(azimuth), int(recv), int(source))
+            cached = self._rir_cache.get(key)
+            out[recv] = cached if cached is not None else self._read_rir(key)
         return out

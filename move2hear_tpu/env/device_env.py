@@ -80,6 +80,7 @@ class DeviceObs(NamedTuple):
     sources: jnp.ndarray       # (N, S)
     target_class: jnp.ndarray  # (N, 1)
     scene_idx: jnp.ndarray     # (N,) current scene per env
+    ep: jnp.ndarray            # (N,) current episode index (sub-bank row key)
 
 
 # --- builders ----------------------------------------------------------------
@@ -253,32 +254,44 @@ class DeviceBundle(NamedTuple):
     scene: DeviceScene
     episodes: DeviceEpisodes
     wav_bank: jnp.ndarray   # (num_sounds, L)
-    rir_bank: jnp.ndarray   # (S, 4, V, V, R, 2)
+    rir_bank: Optional[jnp.ndarray]     # (S, 4, V, V, R, 2); None in sub mode
     rgb_bank: Optional[jnp.ndarray]     # (S, V, 4, H, W, 3)
     depth_bank: Optional[jnp.ndarray]   # (S, V, 4, H, W, 1)
     wav_rfft_bank: Optional[jnp.ndarray] = None  # (num_sounds, NF, 2)
     gt_mono_bank: Optional[jnp.ndarray] = None   # (num_sounds, F, T, 2)
     rir_rfft_bank: Optional[jnp.ndarray] = None  # (S, 4, V, V, NF, 2, 2)
+    # episode-keyed V-linear sub-bank mode (env/sub_bank.py): the dense
+    # rir_bank is replaced by a fixed-capacity slab of per-(scene, source)
+    # rows + the episode->row table, refreshed per rollout by the trainer
+    rir_sub_bank: Optional[jnp.ndarray] = None   # (ROWS, 4, V, R, 2)
+    ep_src_row: Optional[jnp.ndarray] = None     # (E, S_mix) i32
 
 
 def build_device_bundle(
     bundle: MicroSceneBundle, episodes=None, with_frames=True,
-    precompute_audio=True, precompute_rir_rfft=False,
+    precompute_audio=True, precompute_rir_rfft=False, rir_mode="dense",
 ) -> DeviceBundle:
+    """rir_mode: "dense" builds the full (S, 4, V, V, R, 2) bank; "sub"
+    skips it entirely — the trainer supplies a per-rollout episode-keyed
+    slab instead (env/sub_bank.py), keeping both host RAM and HBM V-linear."""
     eps = episodes if episodes is not None else bundle.episodes
     rgb_bank = depth_bank = None
     scenes = bundle.scenes  # {name: GraphScene}; 1+ scenes stack on axis 0
     if with_frames and bundle.frame_cache is not None:
         rgb_bank, depth_bank = build_frame_banks(scenes, bundle.frame_cache)
     wav_bank = jnp.asarray(bundle.audio_db.mono_bank())
-    rir_bank = build_rir_bank(scenes, bundle.audio_db)
+    rir_bank = None
+    if rir_mode == "dense":
+        rir_bank = build_rir_bank(scenes, bundle.audio_db)
+    elif rir_mode != "sub":
+        raise ValueError(f"rir_mode={rir_mode!r}: expected 'dense' or 'sub'")
     wav_rfft_bank = gt_mono_bank = rir_rfft_bank = None
     if precompute_audio:
         wav_rfft_bank = build_wav_rfft_bank(
             wav_bank, bundle.audio_db.rir_length
         )
         gt_mono_bank = build_gt_mono_bank(wav_bank)
-        if precompute_rir_rfft:
+        if precompute_rir_rfft and rir_bank is not None:
             rir_rfft_bank = build_rir_rfft_bank(
                 rir_bank, int(wav_bank.shape[-1])
             )
@@ -407,7 +420,25 @@ def observe(
         sources=episodes.sources[state.ep],
         target_class=episodes.target_class[state.ep][:, None],
         scene_idx=episodes.scene_idx[state.ep],
+        ep=state.ep,
     )
+
+
+def _gather_rirs(bundle: DeviceBundle, obs: DeviceObs) -> jnp.ndarray:
+    """(N, S_mix, R, 2) raw RIRs for each env's active sources at its current
+    (azimuth, receiver node) — from the dense V^2 bank, or from the
+    episode-keyed V-linear sub-bank slab (env/sub_bank.py)."""
+    if bundle.rir_sub_bank is not None:
+        rows = bundle.ep_src_row[obs.ep]  # (N, S_mix) slab slots
+        rirs = bundle.rir_sub_bank[
+            rows, obs.azimuth_idx[:, None], obs.node[:, None]
+        ]
+        # slab storage may be bf16 (halves HBM + upload); render math is f32
+        return rirs.astype(jnp.float32)
+    return bundle.rir_bank[
+        obs.scene_idx[:, None], obs.azimuth_idx[:, None],
+        obs.node[:, None], obs.sources
+    ]
 
 
 def gather_sensors(bundle: DeviceBundle, obs: DeviceObs):
@@ -425,16 +456,10 @@ def gather_sensors(bundle: DeviceBundle, obs: DeviceObs):
             ]
             out["rir_len"] = int(bundle.rir_bank.shape[-2])
         else:
-            out["rirs"] = bundle.rir_bank[
-                obs.scene_idx[:, None], obs.azimuth_idx[:, None],
-                obs.node[:, None], obs.sources
-            ]
+            out["rirs"] = _gather_rirs(bundle, obs)
     else:
         out["mono"] = bundle.wav_bank[obs.sound_ids]             # (N, S, L)
-        out["rirs"] = bundle.rir_bank[
-            obs.scene_idx[:, None], obs.azimuth_idx[:, None],
-            obs.node[:, None], obs.sources
-        ]
+        out["rirs"] = _gather_rirs(bundle, obs)
     if bundle.rgb_bank is not None:
         out["rgb"] = bundle.rgb_bank[obs.scene_idx, obs.node, obs.rot_idx]
     if bundle.depth_bank is not None:

@@ -125,3 +125,48 @@ def build_micro_scene(
         esc_sounds=("esc",),
     )
     return MicroSceneBundle(scene, audio_db, frame_cache, episodes)
+
+
+def build_scale_fixture(
+    num_scenes: int = 8,
+    rows: int = 15,
+    cols: int = 20,
+    episodes_per_scene: int = 12,
+    rir_length: int = 16000,
+    wav_length: int = 16000,
+    with_frames: bool = True,
+    near_target: bool = True,
+    seed: int = 0,
+) -> MicroSceneBundle:
+    """Real-scene-scale synthetic fixture: ``num_scenes`` grid scenes of
+    V = rows*cols nodes each (Matterport graphs are V ~ 100-1000 per the
+    SoundSpaces metadata the reference loads, simulator_train.py:82-86) with
+    full-length 16 kHz RIRs. The dense device RIR bank for this fixture is
+    V^2-terabyte-scale, so it exercises the episode-keyed sub-bank path
+    (env/sub_bank.py) and the host fallback at honest sizes."""
+    scenes = {}
+    episodes = []
+    for i in range(num_scenes):
+        name = f"scale{i:02d}"
+        scenes[name] = GraphScene.grid(name, rows, cols)
+        episodes += generate_episodes(
+            scenes[name],
+            DEFAULT_SOUNDS,
+            episodes_per_scene,
+            near_target=near_target,
+            seed=seed + 101 * i,
+            esc_sounds=("esc",),
+        ).episodes
+    audio_db = SyntheticAudioDB(
+        DEFAULT_SOUNDS, wav_length=wav_length, rir_length=rir_length,
+        seed=seed,
+    )
+    frame_cache = SyntheticFrameCache() if with_frames else None
+    from move2hear_tpu.env.episodes import EpisodeDataset
+
+    return MicroSceneBundle(
+        scene=scenes,
+        audio_db=audio_db,
+        frame_cache=frame_cache,
+        episodes=EpisodeDataset(episodes),
+    )

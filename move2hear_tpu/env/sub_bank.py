@@ -1,0 +1,325 @@
+"""Episode-keyed RIR sub-banks: the V-linear device-env path for real scenes.
+
+The dense device RIR bank is ``(S, 4, V, V, R, 2)`` — V^2 per scene — which
+at real Matterport sizes (V ~ 300-1000 nodes, R = 16000) is terabytes, so the
+TPU.MAX_DEVICE_BANK_BYTES gate demotes every real-data run to the host path.
+But sources are FIXED per episode (the reference merges them into the sim
+config at episode start, habitat_audio/task.py:20-53, and reads one RIR wav
+per source per step, simulator_train.py:396-415): during a rollout the scan
+only ever gathers RIRs for (any receiver node, the <= NUM_SOUNDS_IN_MIX
+active sources). A per-source "row" — all receivers x 4 azimuths for one
+(scene, source-node) — is V-LINEAR: ``(4, V, R, 2)``.
+
+This module keeps a fixed-capacity device slab of such rows plus an
+``(E, S_mix)`` episode->row table, refreshed once per rollout:
+
+  - episode progression on the device env is DETERMINISTIC (auto-reset at
+    the horizon, cursor walks a host-built order table; env/device_env.py
+    ``env_step``), so the host can predict exactly which episodes every env
+    occupies during the next T steps without reading device state;
+  - rows for newly-active sources are assembled host-side from the AudioDB
+    (``get_rir_block``: one column per azimuth, cache-bypassing) and
+    scattered into the slab by a donated jit — the upload overlaps device
+    compute because dispatch is async;
+  - rows are evicted LRU among slots not needed for the coming window.
+
+The collect scan's gather becomes ``slab[ep_src_row[ep], azimuth, node]``
+(env/device_env.py ``gather_sensors``), bit-identical to the dense path when
+the slab dtype is float32 (tests/test_sub_bank.py).
+"""
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+AZIMUTHS = (0, 90, 180, 270)
+
+
+class EpisodeOccupancy:
+    """Host mirror of the device env's deterministic episode progression
+    (env/device_env.py:env_step): step_count increments every step; at the
+    horizon the env resets and the cursor advances one slot (mod K)."""
+
+    def __init__(self, order: np.ndarray, horizon: int):
+        self.order = np.asarray(order)
+        self.horizon = int(horizon)
+        n = self.order.shape[0]
+        self.cursor = np.zeros(n, np.int64)
+        self.step = np.zeros(n, np.int64)
+
+    def episodes_for_window(self, t_steps: int) -> np.ndarray:
+        """Unique episode ids any env occupies during the next ``t_steps``
+        scan steps INCLUDING the post-rollout bootstrap observation (the
+        collect's final forward observes the post-step state, which may be a
+        freshly reset episode)."""
+        need = set()
+        k = self.order.shape[1]
+        for i in range(self.order.shape[0]):
+            c, s = int(self.cursor[i]), int(self.step[i])
+            need.add(int(self.order[i, c % k]))
+            for _ in range(t_steps):
+                s += 1
+                if s >= self.horizon:
+                    s = 0
+                    c += 1
+                    need.add(int(self.order[i, c % k]))
+        return np.asarray(sorted(need), np.int64)
+
+    def advance(self, t_steps: int) -> None:
+        """Commit ``t_steps`` executed scan steps (preemptive-sync truncation
+        makes this potentially < the planned window — always pass the actual
+        count)."""
+        k = self.order.shape[1]
+        for i in range(self.order.shape[0]):
+            c, s = int(self.cursor[i]), int(self.step[i])
+            for _ in range(t_steps):
+                s += 1
+                if s >= self.horizon:
+                    s = 0
+                    c += 1
+            self.cursor[i], self.step[i] = c, s
+
+
+def sub_bank_capacity(
+    n_envs: int, s_mix: int, t_steps: int, horizon: int,
+    n_unique_keys: Optional[int] = None,
+) -> int:
+    """Slot count: the worst-case unique (scene, source) keys one rollout
+    window can touch, plus 25% headroom so consecutive windows' overlapping
+    rows stay warm under LRU (window w and w+1 share the episodes that did
+    not reset between them; rows still resident are never re-uploaded)."""
+    per_window = n_envs * s_mix * (math.ceil(t_steps / max(1, horizon)) + 1)
+    cap = math.ceil(1.25 * per_window)
+    if n_unique_keys is not None:
+        cap = min(cap, n_unique_keys)
+    return max(cap, min(per_window, n_unique_keys or per_window))
+
+
+def estimate_sub_bank_bytes(
+    bundle, n_envs: int, s_mix: int, t_steps: int, horizon: int,
+    dtype_bytes: int = 4, image_size: int = 128,
+) -> int:
+    """Projected HBM for sub-bank mode: capacity V-linear RIR rows + the
+    frame/wav banks (cf. device_env.estimate_bank_bytes for the dense V^2
+    projection)."""
+    scenes = bundle.scenes
+    v = max(s.num_nodes for s in scenes.values())
+    r = bundle.audio_db.rir_length
+    n_keys = _count_unique_keys(bundle)
+    cap = sub_bank_capacity(n_envs, s_mix, t_steps, horizon, n_keys)
+    rows = cap * 4 * v * r * 2 * dtype_bytes
+    frames = 0
+    if getattr(bundle, "frame_cache", None) is not None:
+        frames = (
+            len(scenes) * v * 4 * image_size * image_size * (3 * 1 + 1 * 4)
+        )
+    wav = len(bundle.audio_db.sound_names()) * bundle.audio_db.wav_length * 4
+    return rows + frames + wav
+
+
+def _count_unique_keys(bundle) -> int:
+    keys = set()
+    for e in bundle.episodes.episodes:
+        for src in e.source_nodes:
+            keys.add((e.scene_id, int(src)))
+    return len(keys)
+
+
+class RirSubBank:
+    """Fixed-capacity device slab of per-(scene, source) RIR rows + the
+    episode->row table, refreshed per rollout. ``put`` controls device
+    placement (pass a replicated-sharding device_put under a mesh)."""
+
+    def __init__(
+        self,
+        scenes: Dict[str, "GraphScene"],  # noqa: F821 (sorted-name order)
+        audio_db,
+        ep_scene_idx: np.ndarray,   # (E,) scene index per episode
+        ep_sources: np.ndarray,     # (E, S_mix) source node per slot
+        order: np.ndarray,          # (N, K) global per-env episode order
+        horizon: int,
+        t_steps: int,
+        v_pad: int,
+        capacity: Optional[int] = None,
+        dtype=jnp.float32,
+        put=None,
+        host_cache_bytes: int = 16 * 1024**3,
+    ):
+        self._scene_list = [scenes[k] for k in sorted(scenes)]
+        self._audio_db = audio_db
+        self._ep_scene_idx = np.asarray(ep_scene_idx, np.int64)
+        self._ep_sources = np.asarray(ep_sources, np.int64)
+        self._occ = EpisodeOccupancy(order, horizon)
+        self._t_steps = int(t_steps)
+        self._v_pad = int(v_pad)
+        self._rir_len = int(audio_db.rir_length)
+        n_envs, s_mix = order.shape[0], self._ep_sources.shape[1]
+        n_keys = len(
+            {
+                (int(self._ep_scene_idx[e]), int(s))
+                for e in range(len(self._ep_scene_idx))
+                for s in self._ep_sources[e]
+                if s >= 0
+            }
+        )
+        self.capacity = int(
+            capacity
+            if capacity is not None
+            else sub_bank_capacity(n_envs, s_mix, t_steps, horizon, n_keys)
+        )
+        self._dtype = dtype
+        self._put = put if put is not None else jnp.asarray
+        self._slab = self._put(
+            jnp.zeros(
+                (self.capacity, 4, v_pad, self._rir_len, 2), dtype=dtype
+            )
+        )
+        self._key_to_slot: Dict[Tuple[int, int], int] = {}
+        self._slot_key: List[Optional[Tuple[int, int]]] = (
+            [None] * self.capacity
+        )
+        self._slot_tick = np.zeros(self.capacity, np.int64)
+        self._tick = 0
+        self._table = np.zeros(self._ep_sources.shape, np.int32)
+        self._table_dev = None
+        self._table_dirty = True
+        self._scatter = jax.jit(
+            lambda slab, rows, slots: slab.at[slots].set(
+                rows.astype(slab.dtype)
+            ),
+            donate_argnums=0,
+        )
+        # Host-side row cache (LRU by bytes): evicted device rows that come
+        # back (cyclic episode order; horizon > T overlap) skip re-assembly.
+        # For file-backed data this mirrors what the OS page cache gives the
+        # reference's per-step wav reads; for procedural fixtures it removes
+        # the (fixture-only) regeneration cost from the steady state.
+        from collections import OrderedDict
+
+        self._host_cache: "OrderedDict[Tuple[int, int], np.ndarray]" = (
+            OrderedDict()
+        )
+        self._host_cache_budget = int(host_cache_bytes)
+        self._host_cache_bytes = 0
+        # perf counters (read by bench/docs)
+        self.rows_uploaded = 0
+        self.bytes_uploaded = 0
+        self.rows_assembled = 0
+
+    # -- host-side row assembly ------------------------------------------
+    def _assemble_row(self, key: Tuple[int, int]) -> np.ndarray:
+        scene_idx, src = key
+        scene = self._scene_list[scene_idx]
+        v = scene.num_nodes
+        row = np.zeros((4, self._v_pad, self._rir_len, 2), np.float32)
+        for az_i, az in enumerate(AZIMUTHS):
+            row[az_i, :v] = self._audio_db.get_rir_block(
+                scene.name, az, src, v
+            )
+        return row
+
+    def _row_for(self, key: Tuple[int, int]) -> np.ndarray:
+        """Upload-dtype row, via the host LRU cache. bf16 rows are cast
+        BEFORE caching/upload: half the RAM and half the transfer bytes."""
+        row = self._host_cache.get(key)
+        if row is not None:
+            self._host_cache.move_to_end(key)
+            return row
+        row = self._assemble_row(key)
+        self.rows_assembled += 1
+        if self._dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            row = row.astype(ml_dtypes.bfloat16)
+        if self._host_cache_budget > 0:
+            self._host_cache[key] = row
+            self._host_cache_bytes += row.nbytes
+            while self._host_cache_bytes > self._host_cache_budget:
+                _, old = self._host_cache.popitem(last=False)
+                self._host_cache_bytes -= old.nbytes
+        return row
+
+    def _keys_for(self, ep_ids: np.ndarray) -> List[Tuple[int, int]]:
+        keys = []
+        seen = set()
+        for e in ep_ids:
+            sc = int(self._ep_scene_idx[e])
+            for s in self._ep_sources[e]:
+                if s >= 0 and (sc, int(s)) not in seen:
+                    seen.add((sc, int(s)))
+                    keys.append((sc, int(s)))
+        return keys
+
+    def _ensure(self, keys: List[Tuple[int, int]]) -> None:
+        self._tick += 1
+        needed = set(keys)
+        missing = [k for k in keys if k not in self._key_to_slot]
+        for k in keys:
+            if k in self._key_to_slot:
+                self._slot_tick[self._key_to_slot[k]] = self._tick
+        if not missing:
+            return
+        if len(needed) > self.capacity:
+            raise ValueError(
+                f"sub-bank capacity {self.capacity} < {len(needed)} rows "
+                "needed for one rollout window; raise TPU.SUB_BANK_ROWS"
+            )
+        # LRU slots not needed this window
+        free = [
+            i
+            for i in np.argsort(self._slot_tick, kind="stable")
+            if self._slot_key[i] is None or self._slot_key[i] not in needed
+        ]
+        slots = []
+        for k, slot in zip(missing, free):
+            slot = int(slot)
+            old = self._slot_key[slot]
+            if old is not None:
+                del self._key_to_slot[old]
+                self._table_dirty = True
+            self._slot_key[slot] = k
+            self._key_to_slot[k] = slot
+            self._slot_tick[slot] = self._tick
+            slots.append(slot)
+        rows = np.stack([self._row_for(k) for k in missing])
+        # bucket the scatter shape to powers of two (pad by repeating the
+        # last row/slot pair — duplicate scatter indices with identical
+        # payloads are well-defined) so jit compiles O(log) variants
+        n = len(missing)
+        n_pad = 1 << (n - 1).bit_length()
+        if n_pad > n:
+            rows = np.concatenate(
+                [rows, np.repeat(rows[-1:], n_pad - n, axis=0)]
+            )
+            slots = slots + [slots[-1]] * (n_pad - n)
+        self._slab = self._scatter(
+            self._slab,
+            self._put(rows),
+            self._put(np.asarray(slots, np.int32)),
+        )
+        self.rows_uploaded += n
+        self.bytes_uploaded += rows.nbytes
+        self._table_dirty = True
+
+    # -- per-rollout API ---------------------------------------------------
+    def rollout_inputs(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(slab, ep_src_row) covering the next ``t_steps`` window. Call
+        before dispatching each collect; then ``advance(actual_steps)``."""
+        eps = self._occ.episodes_for_window(self._t_steps)
+        self._ensure(self._keys_for(eps))
+        if self._table_dirty or self._table_dev is None:
+            for e in eps:
+                for j, s in enumerate(self._ep_sources[e]):
+                    if s >= 0:
+                        self._table[e, j] = self._key_to_slot[
+                            (int(self._ep_scene_idx[e]), int(s))
+                        ]
+            self._table_dev = self._put(self._table)
+            self._table_dirty = False
+        return self._slab, self._table_dev
+
+    def advance(self, t_steps: int) -> None:
+        self._occ.advance(t_steps)

@@ -68,13 +68,20 @@ class PolicyNet(nn.Module):
         # pose-feature bank; see make_collect) replaces the conv stack —
         # identical values, computed once per distinct pose instead of per
         # step (params are frozen within a rollout)
+        # blind agent (both modalities excluded via EXTRA_RGB/EXTRA_DEPTH, or
+        # a bundle with no frame data): the visual contribution drops out and
+        # the GRU input narrows to 2*hidden (the reference sizes its GRU
+        # input from the encoder output dims the same way, policy.py:58-63)
         vis = observations.get("visual_feats")
-        if vis is None:
+        if vis is None and not self.visual_encoder.is_blind and (
+            observations.get("rgb") is not None
+            or observations.get("depth") is not None
+        ):
             vis = self.visual_encoder(
                 rgb=observations.get("rgb"), depth=observations.get("depth")
             )
-        feats = [
-            vis,
+        feats = [] if vis is None else [vis]
+        feats += [
             self.bin_encoder(
                 mixed_log_mag=observations["mixed_bin_audio_mag"],
                 pred_bin_sep_masks=pred_binSepMasks,

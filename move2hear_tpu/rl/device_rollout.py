@@ -203,8 +203,13 @@ def make_collect(
     nav_reward_scale: float,
     action_codes: Tuple[int, ...],
     pol_sensors: Tuple[str, ...],
+    scan_unroll: int = 1,
 ):
     """Build the jitted full-rollout collector.
+
+    scan_unroll: lax.scan unroll factor — production keeps 1; the MFU probe
+    compiles fully-unrolled tiny-T variants because XLA cost_analysis counts
+    a rolled scan body once regardless of trip count.
 
     The DeviceBundle is a runtime ARGUMENT of the returned function, not a
     closure capture: closed-over dense device arrays lower into the HLO as
@@ -346,6 +351,7 @@ def make_collect(
             step_fn,
             (env_state, hidden, masks, prev_mem_masked),
             jax.random.split(rng, t_steps),
+            unroll=scan_unroll,
         )
 
         # final forward on obs_T: bootstrap value + q_T for the last reward
@@ -750,6 +756,7 @@ def _mem_refit_scan(
     rng,
     lr_scales,
     row_weights,
+    scan_unroll: int = 1,
 ):
     """Shared grad-step scan of the cached separator refits.
 
@@ -838,7 +845,8 @@ def _mem_refit_scan(
         return (sep_params, opt_state), loss
 
     (sep_params, opt_state), losses = jax.lax.scan(
-        scan_body, (sep_params, state.opt_state_sep), (perms, lrs)
+        scan_body, (sep_params, state.opt_state_sep), (perms, lrs),
+        unroll=scan_unroll,
     )
     mem_losses = losses.reshape(n_updates, steps_per_update).mean(axis=1)
     new_state = state.replace(
@@ -854,6 +862,7 @@ def make_update_sep_from_slabs(
     n_updates: int,
     with_validity: bool = False,
     refit_dtype=None,
+    scan_unroll: int = 1,
 ):
     """All `n_updates` separator refits of a cycle in one program, consuming
     the frozen-separator outputs CACHED BY THE COLLECT SCAN (pred_mono /
@@ -885,7 +894,7 @@ def make_update_sep_from_slabs(
         state, mem_losses = _mem_refit_scan(
             policy, cfg, n_updates, with_validity, refit_dtype,
             state, mono_s, gt_s, prev_s, buf.masks, rng, lr_scales,
-            row_weights,
+            row_weights, scan_unroll=scan_unroll,
         )
         if with_validity:
             wsum = jnp.maximum(row_weights.sum(), 1.0)

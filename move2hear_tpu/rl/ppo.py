@@ -164,6 +164,7 @@ def make_update_pol(
     num_envs: int,
     axis_name: Optional[str] = None,
     with_validity: bool = False,
+    scan_unroll: int = 1,
 ) -> Callable:
     """Build the jitted policy-update function.
 
@@ -312,7 +313,8 @@ def make_update_pol(
             return (pol_params, opt_state), jnp.stack(aux)
 
         (pol_params, opt_state), aux = jax.lax.scan(
-            scan_body, (pol_params, state.opt_state_pol), perms
+            scan_body, (pol_params, state.opt_state_pol), perms,
+            unroll=scan_unroll,
         )
         value_loss, action_loss, entropy = aux.mean(axis=0)
         new_params = {**frozen, **pol_params}

@@ -290,21 +290,52 @@ class PPOTrainer(BaseRLTrainer):
         if self.config.TPU.get("DEVICE_ENV", True):
             bundle = self._make_bundle()
             from move2hear_tpu.env.device_env import estimate_bank_bytes
+            from move2hear_tpu.env.sub_bank import estimate_sub_bank_bytes
 
             est = estimate_bank_bytes(bundle)
             budget = int(self.config.TPU.MAX_DEVICE_BANK_BYTES)
-            if est > budget:
-                # honesty gate: the RIR bank is V^2 per scene — big
-                # file-backed scenes don't fit HBM as device banks; use the
-                # host VectorEnv path (the loaders stream RIRs per step)
-                logger.warning(
-                    "device banks would need ~%.2f GiB (> TPU."
-                    "MAX_DEVICE_BANK_BYTES=%.2f GiB); using the host env "
-                    "path", est / 2**30, budget / 2**30,
-                )
-                self._train_host()
-            else:
+            if est <= budget:
                 self._train_device()
+            else:
+                # the dense RIR bank is V^2 per scene — real scenes don't fit
+                # HBM. Episode-keyed sub-banks (env/sub_bank.py) are V-linear:
+                # try those before demoting to the host path.
+                p = self.config.RL.PPO
+                sub_dtype_bytes = (
+                    2
+                    if self.config.TPU.get("SUB_BANK_DTYPE", "float32")
+                    == "bfloat16"
+                    else 4
+                )
+                sub_est = estimate_sub_bank_bytes(
+                    bundle,
+                    self.config.NUM_PROCESSES * get_distrib_info()[2],
+                    self.config.NUM_SOUNDS_IN_MIX,
+                    p.num_steps,
+                    self.config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS,
+                    dtype_bytes=sub_dtype_bytes,
+                )
+                if (
+                    sub_est <= budget
+                    and not bool(self.config.TPU.get("FUSED_CYCLE", False))
+                    and not bool(
+                        self.config.TPU.get("PAIRWISE_FUSION", False)
+                    )
+                ):
+                    logger.info(
+                        "dense device banks would need ~%.2f GiB; using "
+                        "episode-keyed RIR sub-banks (~%.2f GiB)",
+                        est / 2**30, sub_est / 2**30,
+                    )
+                    self._train_device(rir_mode="sub")
+                else:
+                    logger.warning(
+                        "device banks would need ~%.2f GiB dense / ~%.2f GiB "
+                        "sub-banked (> TPU.MAX_DEVICE_BANK_BYTES=%.2f GiB); "
+                        "using the host env path",
+                        est / 2**30, sub_est / 2**30, budget / 2**30,
+                    )
+                    self._train_host()
         else:
             self._train_host()
         # a finished run's snapshot must not hijack the next run of this
@@ -316,6 +347,7 @@ class PPOTrainer(BaseRLTrainer):
         ppo_cfg = self._ppo_config()
         p = cfg.RL.PPO
         local_rank, world_rank, world_size = get_distrib_info()
+        self._rir_mode = "host"  # introspection for tests/bench
 
         envs, bundle = self._make_envs(world_rank, world_size)
         n_envs = envs.num_envs
@@ -848,10 +880,15 @@ class PPOTrainer(BaseRLTrainer):
         return True
 
     # ------------------------------------------------------------------
-    def _train_device(self) -> None:
+    def _train_device(self, rir_mode: str = "dense") -> None:
         """The TPU-native training loop: one jitted program per rollout
         (scan over T env+policy steps), one per policy update, one per
-        separator refit. Host work per rollout: 1 dispatch + 1 stats fetch."""
+        separator refit. Host work per rollout: 1 dispatch + 1 stats fetch.
+
+        rir_mode="sub": real-scene-scale mode — the V^2 dense RIR bank is
+        replaced by an episode-keyed V-linear slab refreshed per rollout
+        (env/sub_bank.py); chosen automatically by train() when the dense
+        bank exceeds TPU.MAX_DEVICE_BANK_BYTES but the slab fits."""
         import move2hear_tpu.env.device_env as de
         from move2hear_tpu.env.sim import Action
         from move2hear_tpu.rl.device_rollout import (
@@ -864,6 +901,7 @@ class PPOTrainer(BaseRLTrainer):
         ppo_cfg = self._ppo_config()
         p = cfg.RL.PPO
         _, world_rank, world_size = get_distrib_info()
+        self._rir_mode = rir_mode  # introspection for tests/bench
 
         bundle = self._make_bundle()
         n_envs = cfg.NUM_PROCESSES
@@ -910,10 +948,12 @@ class PPOTrainer(BaseRLTrainer):
         dev = de.build_device_bundle(
             bundle,
             precompute_rir_rfft=bool(cfg.TPU.get("PRECOMPUTE_RIR_RFFT", False)),
+            rir_mode=rir_mode,
         )
-        order = de.make_order_table(
+        order_global = de.make_order_table(
             n_global, len(bundle.episodes), cfg.SEED
-        )[world_rank * n_envs : (world_rank + 1) * n_envs]
+        )
+        order = order_global[world_rank * n_envs : (world_rank + 1) * n_envs]
         env_state = de.env_reset_all(dev.scene, dev.episodes, jnp.asarray(order))
 
         init_obs = {
@@ -1003,13 +1043,16 @@ class PPOTrainer(BaseRLTrainer):
 
         from move2hear_tpu.rl.device_rollout import make_train_cycle
 
-        collect_fn = make_collect(
-            policy, ppo_cfg, t_steps, max_ep_steps, gt_norm,
-            sep_rewards, p.extra_reward_multiplier,
-            cfg.RL.DISTANCE_REWARD_SCALE
-            if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
-            action_codes, tuple(pol_sensors),
-        )
+        def mk_collect(steps, unroll=1):
+            return make_collect(
+                policy, ppo_cfg, steps, max_ep_steps, gt_norm,
+                sep_rewards, p.extra_reward_multiplier,
+                cfg.RL.DISTANCE_REWARD_SCALE
+                if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
+                action_codes, tuple(pol_sensors), scan_unroll=unroll,
+            )
+
+        collect_fn = mk_collect(t_steps)
         update_pol_fn = make_update_pol(policy, ppo_cfg, n_prog)
         fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
         pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
@@ -1087,15 +1130,8 @@ class PPOTrainer(BaseRLTrainer):
                     concat_collect_outputs,
                 )
 
-                mk = lambda steps: make_collect(
-                    policy, ppo_cfg, steps, max_ep_steps, gt_norm,
-                    sep_rewards, p.extra_reward_multiplier,
-                    cfg.RL.DISTANCE_REWARD_SCALE
-                    if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
-                    action_codes, tuple(pol_sensors),
-                )
-                collect_prefix = jax.jit(mk(s0))
-                collect_tail = jax.jit(mk(t_steps - s0))
+                collect_prefix = jax.jit(mk_collect(s0))
+                collect_tail = jax.jit(mk_collect(t_steps - s0))
                 concat_segments = jax.jit(
                     lambda a, b: concat_collect_outputs(a, b, ppo_cfg)
                 )
@@ -1144,6 +1180,64 @@ class PPOTrainer(BaseRLTrainer):
                 logger.warning(
                     "NUM_PROCESSES=%d not divisible by %d devices; "
                     "device-env path runs replicated", n_envs, n_dev,
+                )
+
+        sub_bank = self._sub_bank = None
+        if rir_mode == "sub":
+            if fused or pairwise:
+                raise ValueError(
+                    "sub-bank mode refreshes the RIR slab per rollout; "
+                    "TPU.FUSED_CYCLE / PAIRWISE_FUSION fuse whole cycles "
+                    "into one program and cannot host the refresh"
+                )
+            from move2hear_tpu.env.sub_bank import RirSubBank
+
+            # the manager tracks the env rows the jitted PROGRAM runs: the
+            # first n_prog rows of the global order table (world_rank ==
+            # process_index in real multi-process runs, so the concatenation
+            # of per-rank slices IS that prefix). Every process assembles
+            # identical (replicated) slabs from the same global occupancy.
+            sub_rows = int(cfg.TPU.get("SUB_BANK_ROWS", 0)) or None
+            sub_dtype = (
+                jnp.bfloat16
+                if cfg.TPU.get("SUB_BANK_DTYPE", "float32") == "bfloat16"
+                else jnp.float32
+            )
+            sub_bank = self._sub_bank = RirSubBank(
+                bundle.scenes,
+                bundle.audio_db,
+                np.asarray(dev.episodes.scene_idx),
+                np.asarray(dev.episodes.sources),
+                order_global[:n_prog],
+                max_ep_steps,
+                t_steps,
+                v_pad=int(dev.scene.positions.shape[1]),
+                capacity=sub_rows,
+                dtype=sub_dtype,
+                put=(lambda x: replicate(mesh, x)) if n_dev > 1 else None,
+            )
+            logger.info(
+                "RIR sub-bank: %d rows x (4, %d, %d, 2) %s = %.2f GiB slab",
+                sub_bank.capacity, dev.scene.positions.shape[1],
+                bundle.audio_db.rir_length, np.dtype(sub_dtype).name
+                if sub_dtype == jnp.float32 else "bfloat16",
+                sub_bank.capacity * 4 * dev.scene.positions.shape[1]
+                * bundle.audio_db.rir_length * 2
+                * (2 if sub_dtype == jnp.bfloat16 else 4) / 2**30,
+            )
+
+        self.mfu_info = None
+        if cfg.TPU.get("REPORT_MFU", False):
+            if n_dev != 1 or fused or pairwise:
+                logger.warning(
+                    "REPORT_MFU: probe supports single-device separate-"
+                    "program runs only; skipping"
+                )
+            else:
+                self.mfu_info = self._probe_flops(
+                    mk_collect, policy, ppo_cfg, n_prog, cycle, t_steps,
+                    dev, state, env_state, hidden, masks, prev_mem, sep_buf,
+                    refit_dtype, sub_bank,
                 )
 
         win = p.reward_window_size
@@ -1234,6 +1328,14 @@ class PPOTrainer(BaseRLTrainer):
                             rng_c, rng_u, lr_scale, clip_scale,
                         )
                     else:
+                        if sub_bank is not None:
+                            # refresh the episode-keyed RIR slab for the
+                            # coming window (host assembly + async upload
+                            # overlap the still-running previous dispatches)
+                            slab, ep_row = sub_bank.rollout_inputs()
+                            dev = dev._replace(
+                                rir_sub_bank=slab, ep_src_row=ep_row
+                            )
                         if sync_dev is not None:
                             sync_dev.new_rollout()
                             out = collect_prefix(
@@ -1245,6 +1347,7 @@ class PPOTrainer(BaseRLTrainer):
                             # as they finish) — one sync point per rollout,
                             # vs. the reference's per-step store read
                             jax.block_until_ready(out.stats)
+                            executed = s0
                             if not sync_dev.should_stop_early(s0):
                                 out_t = collect_tail(
                                     dev, state.params, state.batch_stats,
@@ -1253,12 +1356,17 @@ class PPOTrainer(BaseRLTrainer):
                                     jax.random.fold_in(rng_c, 1),
                                 )
                                 out = concat_segments(out, out_t)
+                                executed = t_steps
                             sync_dev.mark_done()
+                            if sub_bank is not None:
+                                sub_bank.advance(executed)
                         else:
                             out = collect(
                                 dev, state.params, state.batch_stats,
                                 env_state, hidden, masks, prev_mem, rng_c,
                             )
+                            if sub_bank is not None:
+                                sub_bank.advance(t_steps)
                         env_state, hidden, masks, prev_mem = (
                             out.env_state, out.hidden, out.masks,
                             out.prev_mem_masked,
@@ -1405,6 +1513,93 @@ class PPOTrainer(BaseRLTrainer):
             self._save(state, update_count, num_cycles)
         self._final_state = state
         self._windows = windows
+
+    def _probe_flops(
+        self, mk_collect, policy, ppo_cfg, n_prog, cycle, t_steps,
+        dev, state, env_state, hidden, masks, prev_mem, sep_buf,
+        refit_dtype, sub_bank,
+    ):
+        """Exact per-cycle FLOPs for the MFU report (VERDICT r3 next-5).
+
+        XLA cost_analysis counts a rolled ``lax.scan`` body ONCE regardless
+        of trip count (docs/ROUND3_NOTES.md), so each of the three production
+        programs is probed via two fully-UNROLLED tiny-trip-count variants —
+        whose counts are exact — and the production trip count is
+        reconstructed linearly (fixed + trips x body). Inner scans (the GRU
+        time scan inside the policy update) stay rolled: their bodies are
+        ~0.5% of an update's FLOPs. Probes only compile, never execute."""
+        import dataclasses
+
+        from move2hear_tpu.rl.device_rollout import make_update_sep_from_slabs
+
+        def flops(fn, *args):
+            comp = jax.jit(fn).lower(*args).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+
+        try:
+            if sub_bank is not None:
+                slab, table = sub_bank.rollout_inputs()
+                dev = dev._replace(rir_sub_bank=slab, ep_src_row=table)
+            rng = jax.random.PRNGKey(0)
+            cargs = (
+                dev, state.params, state.batch_stats, env_state, hidden,
+                masks, prev_mem, rng,
+            )
+            f_c1 = flops(mk_collect(1, unroll=True), *cargs)
+            f_c2 = flops(mk_collect(2, unroll=True), *cargs)
+            f_collect = f_c1 + (t_steps - 1) * (f_c2 - f_c1)
+
+            rp = jax.eval_shape(mk_collect(t_steps), *cargs).rollouts_pol
+            one = jnp.float32(1.0)
+
+            def mkp(e):
+                return make_update_pol(
+                    policy, dataclasses.replace(ppo_cfg, ppo_epoch=e),
+                    n_prog, scan_unroll=True,
+                )
+
+            pargs = (state, rp, rng, one, one)
+            f_p1 = flops(mkp(1), *pargs)
+            f_p2 = flops(mkp(2), *pargs)
+            f_pol = f_p1 + (ppo_cfg.ppo_epoch - 1) * (f_p2 - f_p1)
+
+            def mks(c):
+                return make_update_sep_from_slabs(
+                    policy, ppo_cfg, n_prog, c, with_validity=False,
+                    refit_dtype=refit_dtype, scan_unroll=True,
+                )
+
+            f_s1 = flops(mks(1), state, sep_buf, rng, jnp.ones((1,)))
+            f_s2 = flops(mks(2), state, sep_buf, rng, jnp.ones((2,)))
+            f_sep = f_s1 + (cycle - 1) * (f_s2 - f_s1)
+        except Exception as exc:  # cost_analysis availability varies by PJRT
+            logger.warning("REPORT_MFU probe failed: %s", exc)
+            return None
+
+        per_cycle = cycle * (f_collect + f_pol) + f_sep
+        steps_per_cycle = cycle * t_steps * n_prog
+        info = {
+            "flops_per_rollout_collect": f_collect,
+            "flops_per_update_pol": f_pol,
+            "flops_per_cycle_sep_refit": f_sep,
+            "flops_per_cycle_total": per_cycle,
+            "env_steps_per_cycle": steps_per_cycle,
+            "flops_per_env_step": per_cycle / steps_per_cycle,
+            "method": (
+                "XLA cost_analysis over fully-unrolled 1/2-trip program "
+                "variants, linear reconstruction to production trip counts"
+            ),
+        }
+        logger.info(
+            "MFU probe: %.3f GFLOPs/env-step (collect %.1f + pol %.1f + "
+            "refit %.1f GF/cycle)",
+            info["flops_per_env_step"] / 1e9, cycle * f_collect / 1e9,
+            cycle * f_pol / 1e9, f_sep / 1e9,
+        )
+        return info
 
     def _write_tb_scalars(
         self, tb, windows, probs_win, pol_losses, sep_losses, lr_now, step
