@@ -217,9 +217,10 @@ def build_wav_rfft_bank(wav_bank: jnp.ndarray, rir_length: int) -> jnp.ndarray:
     pays only the RIR FFTs per step (ops/frontend.py:
     render_binaural_mixture_pre). Stored as two float channels: complex64
     host<->device transfer is unimplemented on some runtimes."""
+    from move2hear_tpu.ops.convolve import fast_circular_len
+
     l = wav_bank.shape[-1]
-    n = l + rir_length - 1
-    nfft = 1 << (n - 1).bit_length()
+    nfft = fast_circular_len(l, rir_length)
     f = jnp.fft.rfft(jnp.asarray(wav_bank, jnp.float32), n=nfft, axis=-1)
     return jnp.stack([f.real, f.imag], axis=-1)
 
@@ -228,9 +229,10 @@ def build_rir_rfft_bank(rir_bank: jnp.ndarray, mono_len: int) -> jnp.ndarray:
     """(4, V, V, NF, 2 ears, 2 re/im) rffts of the whole RIR bank at the
     linear-conv FFT length — removes the per-step RIR forward FFTs too, at
     ~2x the raw bank's HBM (TPU.PRECOMPUTE_RIR_RFFT)."""
+    from move2hear_tpu.ops.convolve import fast_circular_len
+
     r = rir_bank.shape[-2]
-    n = mono_len + r - 1
-    nfft = 1 << (n - 1).bit_length()
+    nfft = fast_circular_len(mono_len, r)
     f = jnp.fft.rfft(
         jnp.asarray(rir_bank, jnp.float32), n=nfft, axis=-2
     )  # (S, 4, V, V, NF, 2)

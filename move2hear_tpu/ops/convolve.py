@@ -4,6 +4,15 @@ TPU-native replacement for ``scipy.signal.fftconvolve(mono, rir, mode="same")``
 as used by the reference at ``habitat_audio/simulator_train.py:417-419`` and
 ``audio_separation/pretrain/datasets/dataset.py:178-180``. One batched
 rfft·rfft→irfft on device instead of per-env host FFTs.
+
+The "same" mode only keeps ``full[start : start + lx]`` of the linear
+convolution (``start = (lh - 1) // 2``), so the FFT length does not need to
+cover the full ``lx + lh - 1``: a circular convolution of length ``NC`` only
+aliases ``full[n + k·NC]`` (k >= 1) onto position ``n``, which is zero for
+every n in the kept window as soon as ``NC >= lx + lh - 1 - start``. For the
+production shapes (lx = lh = 16000) that bound is 24000 — a 5-smooth size XLA's
+TPU FFT runs ~4x faster than the next power of two (32768, measured on v5e;
+non-smooth sizes fall off a Bluestein cliff and must never be picked).
 """
 
 from functools import partial
@@ -12,8 +21,37 @@ import jax
 import jax.numpy as jnp
 
 
+def _next_5_smooth(n: int) -> int:
+    """Smallest integer >= n whose prime factors are all in {2, 3, 5}."""
+    if n <= 1:
+        return 1
+    best = 1 << (n - 1).bit_length()  # pow2 upper bound is always 5-smooth
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            q = -(-n // p35)  # ceil(n / p35)
+            m = p35 << (q - 1).bit_length()  # smallest 2^a * p35 >= n
+            if m < best:
+                best = m
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+def fast_circular_len(lx: int, lh: int) -> int:
+    """FFT length for a circular convolution whose ``same``-window slice is
+    alias-exact: smallest EVEN 5-smooth size >= lx + lh - 1 - (lh - 1) // 2.
+
+    Even, because consumers of a precomputed rfft bank recover the FFT length
+    as ``2 * (num_bins - 1)`` (ops/frontend.py:render_binaural_mixture_pre),
+    which only inverts rfft lengths for even n."""
+    n = lx + lh - 1 - (lh - 1) // 2
+    return 2 * _next_5_smooth(-(-n // 2))
+
+
 def _next_fast_len(n: int) -> int:
-    """Next power of two >= n. XLA's TPU FFT is happiest at powers of two."""
+    """Next power of two >= n (full linear conv needs every output sample)."""
     if n <= 1:
         return 1
     return 1 << (n - 1).bit_length()
@@ -35,11 +73,17 @@ def fftconvolve_same(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     slice, matching ``scipy.signal.fftconvolve(x, h, mode="same")``.
 
     Broadcasts over leading batch axes. Output length = x.shape[-1].
+    Internally a circular convolution at ``fast_circular_len`` — exact on the
+    kept window (see module docstring), ~4x cheaper than padding to a power
+    of two at the production RIR shapes.
     """
     x = jnp.asarray(x, dtype=jnp.float32)
     h = jnp.asarray(h, dtype=jnp.float32)
     lx, lh = x.shape[-1], h.shape[-1]
-    full = _fftconv_full(x, h)
-    # scipy "same": output is the size of in1, centered w.r.t. the full output.
+    nfft = fast_circular_len(lx, lh)
     start = (lh - 1) // 2
-    return jax.lax.dynamic_slice_in_dim(full, start, lx, axis=-1)
+    X = jnp.fft.rfft(x, n=nfft, axis=-1)
+    H = jnp.fft.rfft(h, n=nfft, axis=-1)
+    y = jnp.fft.irfft(X * H, n=nfft, axis=-1)
+    # scipy "same": output is the size of in1, centered w.r.t. the full output.
+    return jax.lax.dynamic_slice_in_dim(y, start, lx, axis=-1)

@@ -149,8 +149,8 @@ def render_binaural_mixture_pre(
 
     Args:
         mono_rfft: (B, S, NF, 2) real/imag of rfft(mono, n=nfft) where
-            nfft = next_pow2(mono_len + R - 1) (stored as floats — complex64
-            transfers are unimplemented on some runtimes).
+            nfft = fast_circular_len(mono_len, R) (ops/convolve.py; stored as
+            floats — complex64 transfers are unimplemented on some runtimes).
         rirs: (B, S, R, 2) binaural RIRs.
         gt_mono_raw: (B, S, F, T, 2): [..., 0] = raw (un-normed, f32) mono
             STFT magnitude, [..., 1] = mono phase (already f16-cast).
@@ -174,9 +174,11 @@ def render_binaural_mixture_pre(
         h = jnp.fft.rfft(
             jnp.moveaxis(rirs, -1, -2), n=nfft, axis=-1
         )  # (B, S, 2, NF)
-    n_lin = mono_len + r - 1
     mf = jax.lax.complex(mono_rfft[..., 0], mono_rfft[..., 1])[:, :, None, :]
-    full = jnp.fft.irfft(mf * h, n=nfft, axis=-1)[..., :n_lin]
+    full = jnp.fft.irfft(mf * h, n=nfft, axis=-1)
+    # circular conv at nfft >= mono_len + r - 1 - start keeps the "same"
+    # window [start, start + mono_len) alias-free (ops/convolve.py docstring);
+    # full pow2 lengths satisfy the same bound, so both bank layouts work.
     start = (r - 1) // 2
     conv = jax.lax.dynamic_slice_in_dim(full, start, mono_len, axis=-1)
     conv = quantize_int16(conv)

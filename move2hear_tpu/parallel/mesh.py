@@ -7,9 +7,11 @@ consumes sharded batches and produces replicated grads — replacing DDP's
 bucket allreduce (rl/ppo/ppo.py:286-319). Multi-host extends the same mesh
 across slices (`jax.distributed.initialize` at the CLI layer)."""
 
+from functools import lru_cache
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -92,6 +94,34 @@ def fetch_to_host(mesh: Mesh, tree: Any) -> Any:
         return jax.device_get(x)
 
     return jax.tree.map(pull, tree)
+
+
+@lru_cache(maxsize=8)
+def _max_reducer(mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda x: jnp.max(x), out_shardings=rep)
+
+
+def collective_any(mesh: Mesh, flag: bool, axis_name: str = "data") -> bool:
+    """Consistent cross-process OR: True on EVERY process iff any process
+    passed True.
+
+    Host-side control decisions read from out-of-band state (e.g. the DDPPO
+    num-done store, ppo_trainer.py:769-782) can differ between processes of
+    one jax world by pure timing; acting on a divergent read makes processes
+    dispatch DIFFERENT global programs and the mesh collectives deadlock.
+    This reduces the local flags with one tiny jitted max over the mesh
+    (compiled once per mesh), so the whole SPMD world truncates — or not —
+    together. Single-process: returns the flag unchanged."""
+    if jax.process_count() <= 1:
+        return bool(flag)
+    n = len(mesh.devices.flat)
+    sh = NamedSharding(mesh, P(axis_name))
+    local = np.full(
+        (n // jax.process_count(),), 1 if flag else 0, np.int32
+    )
+    arr = jax.make_array_from_process_local_data(sh, local)
+    return bool(jax.device_get(_max_reducer(mesh)(arr)))
 
 
 def shard_env_batch(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:

@@ -43,6 +43,7 @@ from move2hear_tpu.models.policy import ActOutput, Move2HearPolicy
 from move2hear_tpu.ops.frontend import render_binaural_mixture
 from move2hear_tpu.parallel.ddppo import RolloutSyncState, get_distrib_info
 from move2hear_tpu.parallel.mesh import (
+    collective_any,
     fetch_to_host,
     make_mesh,
     replicate,
@@ -698,7 +699,16 @@ class PPOTrainer(BaseRLTrainer):
 
                     total_env_steps += n_envs
                     t_col = step_t + 1
-                    if sync.should_stop_early(t_col):
+                    stop = sync.should_stop_early(t_col)
+                    if sync_possible and jax.process_count() > 1:
+                        # t_col feeds the masked global update programs as a
+                        # replicated scalar: every process of this jax world
+                        # must cut at the SAME step even when their local
+                        # store reads race — agree via one tiny mesh reduce
+                        # (entered unconditionally each step: the gate is
+                        # config-deterministic, so trip counts stay aligned)
+                        stop = collective_any(mesh, stop, cfg.TPU.AXIS_NAME)
+                    if stop:
                         break
                 sync.mark_done()
 
@@ -1348,7 +1358,17 @@ class PPOTrainer(BaseRLTrainer):
                             # vs. the reference's per-step store read
                             jax.block_until_ready(out.stats)
                             executed = s0
-                            if not sync_dev.should_stop_early(s0):
+                            stop = sync_dev.should_stop_early(s0)
+                            if multiproc:
+                                # a store read can differ across this jax
+                                # world's processes by pure timing; a
+                                # divergent decision would dispatch different
+                                # global programs and deadlock the mesh
+                                # collectives — agree via one tiny reduce
+                                stop = collective_any(
+                                    mesh, stop, cfg.TPU.AXIS_NAME
+                                )
+                            if not stop:
                                 out_t = collect_tail(
                                     dev, state.params, state.batch_stats,
                                     out.env_state, out.hidden, out.masks,

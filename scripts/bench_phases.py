@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main():
+    import argparse
+
     from move2hear_tpu.config import get_config
     from move2hear_tpu.env import device_env as de
     from move2hear_tpu.env.micro_scene import build_micro_scene
@@ -30,15 +32,20 @@ def main():
     )
     from move2hear_tpu.rl.ppo import PPOConfig, create_agent_state, make_update_pol
 
-    n_envs, t_steps, cycle = 14, 20, 6
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=14)
+    args = ap.parse_args()
+
+    n_envs, t_steps, cycle = args.envs, 20, 6
     cfg = get_config(model_dir="/tmp/m2h_phases", opts=[
         "TASK_CONFIG.SIMULATOR.AUDIO.GT_MONO_MAG_NORM", "1.2",
     ])
     bundle = build_micro_scene(
-        rows=4, cols=4, num_episodes=64, near_target=True, rir_length=16000
+        rows=4, cols=4, num_episodes=max(64, 2 * n_envs), near_target=True,
+        rir_length=16000
     )
     dev = de.build_device_bundle(bundle)
-    order = de.make_order_table(n_envs, 64, 0)
+    order = de.make_order_table(n_envs, max(64, 2 * n_envs), 0)
     env_state = de.env_reset_all(dev.scene, dev.episodes, jnp.asarray(order))
 
     actions = ("MOVE_FORWARD", "TURN_LEFT", "TURN_RIGHT")

@@ -51,6 +51,45 @@ def main():
     init_distributed(config.RL.PPO.master_addr, config.RL.PPO.master_port)
     add_signal_handlers()
 
+    # Test hook (M2H_TEST_SYNC_STORE=stop|go): replace the num-done store
+    # with a fixed-answer fake so the preemptive-sync decision DATA each rank
+    # reads is controlled per rank — "stop" reads the whole world as done,
+    # "go" reads nobody. Divergent values across ranks reproduce the timing
+    # race a shared TCP/file store exhibits mid-rollout; the trainer's
+    # collective_any reduce must still cut every rank at the same step.
+    store_mode = os.environ.get("M2H_TEST_SYNC_STORE", "")
+    if store_mode:
+        import move2hear_tpu.rl.trainer as trainer_mod
+        from move2hear_tpu.parallel.ddppo import RolloutSyncState
+
+        class _FixedStore:
+            def __init__(self, n):
+                self._n = n
+
+            def add(self, generation):
+                return self._n
+
+            def get(self, generation):
+                return self._n
+
+            def close(self):
+                pass
+
+        n_done = 10**6 if store_mode == "stop" else 0
+        p = config.RL.PPO
+        store_world = int(os.environ.get("WORLD_SIZE", "2"))
+
+        def _make_sync(self, t):
+            return RolloutSyncState(
+                sync_frac=p.sync_frac,
+                short_rollout_threshold=p.short_rollout_threshold,
+                num_steps=t,
+                world_size=store_world,
+                store=_FixedStore(n_done),
+            )
+
+        trainer_mod.PPOTrainer._make_rollout_sync = _make_sync
+
     if "WORLD_SIZE" in os.environ:
         assert jax.process_count() == int(os.environ["WORLD_SIZE"])
 
@@ -70,6 +109,9 @@ def main():
     # the topology-equality oracle (params after Adam steps only bound to ~lr)
     flat["__loss_pol__"] = np.asarray(trainer._loss_log[0][0])
     flat["__loss_sep__"] = np.asarray(trainer._loss_log[0][1])
+    flat["__sep_fill__"] = np.asarray(
+        getattr(trainer, "_last_sep_fill", -1)
+    )
     for i, st in enumerate(trainer._stats_log):
         for k, v in st.items():
             flat[f"__st{i}_{k}__"] = np.asarray(v)

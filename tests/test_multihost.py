@@ -126,6 +126,90 @@ def test_two_process_full_trainer(tmp_path):
         )
 
 
+def test_two_process_truncation_divergent_stores(tmp_path):
+    """VERDICT r3 item 7: preemptive rollout sync under a REAL sharded
+    multi-process run, with ranks whose local num-done reads DISAGREE.
+
+    Rank 0's store reports the whole world done (stop), rank 1's reports
+    nobody (go) — the mid-rollout timing race a shared TCP/file store
+    produces (reference semantics: per-step store read,
+    ppo_trainer.py:769-782). The trainer's collective_any reduce must make
+    the decision world-consistent: both ranks truncate EVERY rollout at
+    ceil(threshold*T), training completes (a divergent decision would
+    deadlock the global-mesh collectives), the truncated sep buffers fill
+    cycle*s0 rows on both ranks, and final params stay bitwise identical
+    across ranks — and match a second 2-process run where BOTH ranks' stores
+    say stop (the ANY-reduced expectation: (stop, go) == (stop, stop)).
+    The masked==truncated update math itself is pinned separately in
+    tests/test_preemptive_sync.py."""
+    port = _free_port()
+    t_steps, threshold, cycle = 4, 0.5, 2
+    base_opts = _tiny_train_opts(port) + [
+        "NUM_PROCESSES", "4",
+        "RL.PPO.num_steps", str(t_steps),
+        "RL.PPO.num_updates_per_cycle", str(cycle),
+        "RL.PPO.short_rollout_threshold", str(threshold),
+        "RL.PPO.sync_frac", "0.5",
+        "NUM_UPDATES", str(2 * cycle),
+    ]
+    base_env = dict(os.environ)
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get("PYTHONPATH", "")
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["INTERRUPTED_STATE_DIR"] = str(tmp_path / "interr")
+
+    def run_world(tag, modes, world_port):
+        opts = [o for o in base_opts]
+        opts[opts.index("RL.PPO.master_port") + 1] = str(world_port)
+        procs = []
+        for rank, mode in enumerate(modes):
+            env = dict(base_env)
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+            env["RANK"] = str(rank)
+            env["LOCAL_RANK"] = str(rank)
+            env["WORLD_SIZE"] = str(len(modes))
+            env["MASTER_ADDR"] = "127.0.0.1"
+            env["MASTER_PORT"] = str(world_port)
+            env["M2H_TEST_SYNC_STORE"] = mode
+            procs.append(
+                _run_train_proc(
+                    str(tmp_path / f"params_{tag}{rank}.npz"),
+                    str(tmp_path / f"md_{tag}{rank}"), opts, env,
+                )
+            )
+        for i, p in enumerate(procs):
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            assert p.returncode == 0, f"{tag} rank {i} failed:\n{out}"
+            assert f"TRAIN-OK {i}" in out, out
+
+    run_world("div", ("stop", "go"), port)       # divergent local reads
+    run_world("all", ("stop", "stop"), port + 1)  # the ANY-reduced oracle
+
+    import numpy as np
+
+    s0 = int(np.ceil(threshold * t_steps))  # ceil(0.5*4) = 2
+    r0 = np.load(tmp_path / "params_div0.npz")
+    r1 = np.load(tmp_path / "params_div1.npz")
+    oracle = np.load(tmp_path / "params_all0.npz")
+    assert set(r0.files) == set(r1.files) == set(oracle.files)
+    assert int(r0["__sep_fill__"]) == cycle * s0, int(r0["__sep_fill__"])
+    assert int(r1["__sep_fill__"]) == cycle * s0
+    assert int(oracle["__sep_fill__"]) == cycle * s0
+    for k in r0.files:
+        # DDP contract: replicated params agree bitwise across ranks
+        np.testing.assert_array_equal(r0[k], r1[k], err_msg=k)
+        # the collective decision equals the everyone-says-stop world:
+        # same topology/programs/inputs; separate runs carry backend
+        # reduction noise (~3e-6 measured), far below any wrong-length
+        # rollout (truncation changes WHICH env steps train, >>1e-3)
+        np.testing.assert_allclose(
+            r0[k], oracle[k], rtol=1e-4, atol=1e-5, err_msg=k
+        )
+
+
 def test_two_process_mesh_helpers():
     port = _free_port()
     coord = f"127.0.0.1:{port}"
