@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import move2hear_tpu.env.device_env as de
+from move2hear_tpu.eval.evaluator import per_goal_distance_columns
 from move2hear_tpu.eval.metrics import stft_l2_distance
 from move2hear_tpu.models.policy import Move2HearPolicy
 from move2hear_tpu.ops.frontend import render_binaural_mixture
@@ -491,6 +492,9 @@ def evaluate_checkpoint_device(
             )
             entry["normalized_geo_distance_to_target_audio_source"] = float(
                 per_env["ndg_last"][i]
+            )
+            entry.update(
+                per_goal_distance_columns(bundle.scenes[ep.scene_id], ep)
             )
             if cfg.COMPUTE_EVAL_METRICS:
                 for j, name in enumerate(SI_METRIC_NAMES):

@@ -31,6 +31,30 @@ from move2hear_tpu.utils.checkpoint import load_checkpoint
 logger = logging.getLogger(__name__)
 
 
+def per_goal_distance_columns(scene, episode) -> Dict[str, float]:
+    """Per-goal start->goal distance columns of the reference's eval dump
+    (ppo_trainer.py:1446-1478): ``geodesic_distance_{i}`` from the episode's
+    own info when present, recomputed from the scene graph otherwise, and
+    ``euclidean_distance_{i}`` = ||goal_pos - start_pos|| (the reference
+    computes it from raw positions at ppo_trainer.py:1455)."""
+    cols: Dict[str, float] = {}
+    geos = episode.all_geodesic_distances
+    start = int(episode.start_node)
+    for gi, src in enumerate(episode.source_nodes):
+        src = int(src)
+        if geos is not None and gi < len(geos):
+            g = float(geos[gi])
+        elif gi == 0 and episode.geodesic_distance:
+            g = float(episode.geodesic_distance)
+        else:
+            g = float(scene.geodesic_distance(start, src))
+        cols[f"geodesic_distance_{gi}"] = g
+        cols[f"euclidean_distance_{gi}"] = float(
+            np.linalg.norm(scene.positions[src] - scene.positions[start])
+        )
+    return cols
+
+
 def _policy_from_config(cfg) -> Move2HearPolicy:
     import jax.numpy as _jnp
 
@@ -250,6 +274,9 @@ def evaluate_checkpoint(
             "mem_l2_all": float(np.mean(ep_metrics["mem_l2"])),
             "bin_l2_all": float(np.mean(ep_metrics["bin_l2"])),
             **info,
+            **per_goal_distance_columns(
+                bundle.scenes[episode.scene_id], episode
+            ),
         }
         eval_metrics_dump[(episode.scene_id, episode.episode_id)] = ep_metrics
         if frames:

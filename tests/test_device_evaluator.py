@@ -89,6 +89,12 @@ def test_device_eval_end_to_end(setup):
     assert np.isfinite(agg["mem_l2_last"]["mean"])
     assert np.isfinite(agg["mono_si_sdr_last"]["mean"])
     assert "monoFromMem_si_sdri_last" in agg
+    # per-goal distance columns of the reference's stats_episodes dump
+    # (ppo_trainer.py:1446-1478, euclidean at :1455)
+    n_goals = len(bundle.episodes.episodes[0].source_nodes)
+    for gi in range(n_goals):
+        assert np.isfinite(agg[f"geodesic_distance_{gi}"]["mean"])
+        assert np.isfinite(agg[f"euclidean_distance_{gi}"]["mean"])
 
 
 def test_device_eval_matches_host_on_stft_l2(setup):

@@ -77,6 +77,9 @@ def test_evaluate_checkpoint_end_to_end(tmp_path, bundle):
     agg = evaluate_checkpoint(cfg, ckpt, 0, bundle=bundle)
     assert "mono_l2_last" in agg and "mem_l2_last" in agg
     assert np.isfinite(agg["mono_l2_last"]["mean"])
+    # reference stats_episodes per-goal columns (ppo_trainer.py:1446-1478)
+    assert np.isfinite(agg["geodesic_distance_0"]["mean"])
+    assert np.isfinite(agg["euclidean_distance_0"]["mean"])
     stats_files = [f for f in os.listdir(tmp_path) if f.endswith(".json")]
     assert stats_files, "no stats dump written"
     pkl_files = [f for f in os.listdir(tmp_path) if f.endswith(".pkl")]
