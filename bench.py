@@ -183,9 +183,11 @@ def main():
         "fixture on the host path",
     )
     ap.add_argument(
-        "--mfu", action="store_true",
-        help="probe per-cycle FLOPs (6 extra compiles) and report MFU",
+        "--mfu", dest="mfu", action="store_true", default=True,
+        help="probe per-cycle FLOPs (6 extra compiles) and report MFU "
+        "(default ON so every BENCH artifact tracks it; --no-mfu to skip)",
     )
+    ap.add_argument("--no-mfu", dest="mfu", action="store_false")
     ap.add_argument(
         "--peak-tflops", type=float, default=197.0,
         help="chip peak for the MFU denominator (default: v5e bf16 dense "

@@ -95,7 +95,10 @@ def sub_bank_capacity(
     cap = math.ceil(1.25 * per_window)
     if n_unique_keys is not None:
         cap = min(cap, n_unique_keys)
-    return max(cap, min(per_window, n_unique_keys or per_window))
+    # cap >= min(per_window, n_unique_keys) by construction (cap starts at
+    # 1.25 * per_window and is only clamped down to n_unique_keys)
+    assert cap >= min(per_window, n_unique_keys or per_window)
+    return cap
 
 
 def estimate_sub_bank_bytes(

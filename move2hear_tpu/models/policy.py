@@ -16,6 +16,7 @@ Methods are exposed through ``nn.Module`` method dispatch:
 ``policy.apply(vars, ..., method=Move2HearPolicy.act)``.
 """
 
+import logging
 from typing import Any, Dict, NamedTuple, Optional
 
 import flax.linen as nn
@@ -73,13 +74,26 @@ class PolicyNet(nn.Module):
         # the GRU input narrows to 2*hidden (the reference sizes its GRU
         # input from the encoder output dims the same way, policy.py:58-63)
         vis = observations.get("visual_feats")
-        if vis is None and not self.visual_encoder.is_blind and (
-            observations.get("rgb") is not None
-            or observations.get("depth") is not None
-        ):
-            vis = self.visual_encoder(
-                rgb=observations.get("rgb"), depth=observations.get("depth")
-            )
+        if vis is None and not self.visual_encoder.is_blind:
+            if (
+                observations.get("rgb") is not None
+                or observations.get("depth") is not None
+            ):
+                vis = self.visual_encoder(
+                    rgb=observations.get("rgb"), depth=observations.get("depth")
+                )
+            else:
+                # A non-blind encoder with no frames silently changes the
+                # param tree and GRU input width — checkpoints trained with
+                # frames cannot resume against a frames-absent bundle. Flag
+                # the footgun at trace time; EXTRA_RGB/EXTRA_DEPTH is the
+                # intended way to configure a truly blind agent.
+                logging.getLogger(__name__).warning(
+                    "PolicyNet: visual encoder is not blind but observations "
+                    "carry no rgb/depth — the visual branch drops out of the "
+                    "param tree. Set EXTRA_RGB/EXTRA_DEPTH to configure a "
+                    "blind agent explicitly."
+                )
         feats = [] if vis is None else [vis]
         feats += [
             self.bin_encoder(

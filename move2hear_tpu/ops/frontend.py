@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from move2hear_tpu.ops.convolve import fftconvolve_same
 from move2hear_tpu.ops.spec import l2_norm_scale, quantize_int16
-from move2hear_tpu.ops.stft import HOP_LENGTH, N_FFT, stft_mag_phase
+from move2hear_tpu.ops.stft import HOP_LENGTH, N_FFT, stft
 
 
 class RenderedAudio(NamedTuple):
@@ -49,13 +49,31 @@ def _f16(x: jnp.ndarray, enabled: bool) -> jnp.ndarray:
     return x.astype(jnp.float16).astype(jnp.float32) if enabled else x
 
 
-def _bin_and_mix(conv: jnp.ndarray, cast_f16: bool):
+def _bin_and_mix(conv: jnp.ndarray, cast_f16: bool, mags_only: bool = False):
     """Per-source binaural spectrograms + mixture spectrogram from the
-    quantized convolved waves conv (B, S, 2, L)."""
+    quantized convolved waves conv (B, S, 2, L).
+
+    The mixture spectrogram is the mean of the per-source complex
+    spectrograms (the STFT is linear, so this equals the STFT of the mean
+    waveform up to f32 summation order — invisible under the f16 cast that
+    follows), saving a third of the framing + DFT-matmul work vs a third
+    STFT over the mixed waveform.
+
+    mags_only: phase channels are emitted as ZEROS and the atan2 (angle)
+    computation disappears from the program entirely. Training-path
+    consumers only use phases through stft_l2_distance, where both sides
+    carry the SAME phase — there cos^2+sin^2 == 1 makes the result
+    mathematically independent of the phase value, so zero phases give
+    equal results while XLA DCEs every transcendental (eval paths, which
+    ISTFT with the GT phase, keep mags_only=False)."""
     b, s = conv.shape[0], conv.shape[1]
-    bin_mag, bin_phase = stft_mag_phase(conv, n_fft=N_FFT, hop_length=HOP_LENGTH)
-    bin_mag = _f16(bin_mag, cast_f16)
-    bin_phase = _f16(bin_phase, cast_f16)
+    bin_spec = stft(conv, n_fft=N_FFT, hop_length=HOP_LENGTH)  # (B,S,2,F,T)
+    bin_mag = _f16(jnp.abs(bin_spec), cast_f16)
+    bin_phase = (
+        jnp.zeros_like(bin_mag)
+        if mags_only
+        else _f16(jnp.angle(bin_spec), cast_f16)
+    )
     comps = jnp.stack(
         [bin_mag[:, :, 0], bin_phase[:, :, 0], bin_mag[:, :, 1], bin_phase[:, :, 1]],
         axis=-1,
@@ -63,21 +81,27 @@ def _bin_and_mix(conv: jnp.ndarray, cast_f16: bool):
     f, t = comps.shape[2], comps.shape[3]
     gt_bin_comps = jnp.moveaxis(comps, 1, -2).reshape(b, f, t, 4 * s)
 
-    mixed_wave = jnp.mean(conv, axis=1)  # (B, 2, L)
-    mix_mag, mix_phase = stft_mag_phase(mixed_wave, n_fft=N_FFT, hop_length=HOP_LENGTH)
-    mix_mag = _f16(mix_mag, cast_f16)
-    mix_phase = _f16(mix_phase, cast_f16)
+    mix_spec = jnp.mean(bin_spec, axis=1)  # (B, 2, F, T)
+    mix_mag = _f16(jnp.abs(mix_spec), cast_f16)
+    mix_phase = (
+        jnp.zeros_like(mix_mag)
+        if mags_only
+        else _f16(jnp.angle(mix_spec), cast_f16)
+    )
     mixed_bin_audio_mag = jnp.log1p(jnp.moveaxis(mix_mag, 1, -1))  # (B, F, T, 2)
     mixed_bin_audio_phase = jnp.moveaxis(mix_phase, 1, -1)
     return mixed_bin_audio_mag, mixed_bin_audio_phase, gt_bin_comps
 
 
-@partial(jax.jit, static_argnames=("gt_mono_mag_norm", "cast_f16"))
+@partial(
+    jax.jit, static_argnames=("gt_mono_mag_norm", "cast_f16", "mags_only")
+)
 def render_binaural_mixture(
     mono_wavs: jnp.ndarray,
     rirs: jnp.ndarray,
     gt_mono_mag_norm: float = 0.0,
     cast_f16: bool = True,
+    mags_only: bool = False,
 ) -> RenderedAudio:
     """Render the mixed-binaural observation and GT components for a batch.
 
@@ -103,15 +127,20 @@ def render_binaural_mixture(
     )
     conv = quantize_int16(conv)
     mixed_bin_audio_mag, mixed_bin_audio_phase, gt_bin_comps = _bin_and_mix(
-        conv, cast_f16
+        conv, cast_f16, mags_only=mags_only
     )
 
     # GT mono spectrograms from the raw (unconvolved) waveforms.
     mono_scaled = mono_wavs * (1.0 / 32768.0)
-    mono_mag, mono_phase = stft_mag_phase(mono_scaled, n_fft=N_FFT, hop_length=HOP_LENGTH)
+    mono_spec = stft(mono_scaled, n_fft=N_FFT, hop_length=HOP_LENGTH)
+    mono_mag = jnp.abs(mono_spec)
     mono_mag = l2_norm_scale(mono_mag, gt_mono_mag_norm)
     mono_mag = _f16(mono_mag, cast_f16)
-    mono_phase = _f16(mono_phase, cast_f16)
+    mono_phase = (
+        jnp.zeros_like(mono_mag)
+        if mags_only
+        else _f16(jnp.angle(mono_spec), cast_f16)
+    )
     mcomps = jnp.stack([mono_mag, mono_phase], axis=-1)  # (B, S, F, T, 2)
     f, t = mcomps.shape[2], mcomps.shape[3]
     gt_mono_comps = jnp.moveaxis(mcomps, 1, -2).reshape(b, f, t, 2 * s)
@@ -126,7 +155,9 @@ def render_binaural_mixture(
 
 @partial(
     jax.jit,
-    static_argnames=("mono_len", "gt_mono_mag_norm", "cast_f16", "rir_len"),
+    static_argnames=(
+        "mono_len", "gt_mono_mag_norm", "cast_f16", "rir_len", "mags_only"
+    ),
 )
 def render_binaural_mixture_pre(
     mono_rfft: jnp.ndarray,
@@ -137,6 +168,7 @@ def render_binaural_mixture_pre(
     cast_f16: bool = True,
     rir_rfft: jnp.ndarray = None,
     rir_len: int = 0,
+    mags_only: bool = False,
 ) -> RenderedAudio:
     """render_binaural_mixture consuming PRECOMPUTED per-sound tensors.
 
@@ -183,13 +215,16 @@ def render_binaural_mixture_pre(
     conv = jax.lax.dynamic_slice_in_dim(full, start, mono_len, axis=-1)
     conv = quantize_int16(conv)
     mixed_bin_audio_mag, mixed_bin_audio_phase, gt_bin_comps = _bin_and_mix(
-        conv, cast_f16
+        conv, cast_f16, mags_only=mags_only
     )
 
     mono_mag = _f16(
         l2_norm_scale(gt_mono_raw[..., 0], gt_mono_mag_norm), cast_f16
     )
-    mcomps = jnp.stack([mono_mag, gt_mono_raw[..., 1]], axis=-1)
+    mono_phase = (
+        jnp.zeros_like(mono_mag) if mags_only else gt_mono_raw[..., 1]
+    )
+    mcomps = jnp.stack([mono_mag, mono_phase], axis=-1)
     f, t = mcomps.shape[2], mcomps.shape[3]
     gt_mono_comps = jnp.moveaxis(mcomps, 1, -2).reshape(b, f, t, 2 * s)
 

@@ -55,7 +55,16 @@ def _rfft_matmul(frames: jnp.ndarray, n: int) -> jnp.ndarray:
     (6-pass) costs +33%; scripts/ondevice_stft_check.py is the on-device
     accuracy + speed check against the FFT."""
     cos_m, sin_m = _dft_mats(n)
-    hi = jax.lax.Precision.HIGH
+    # M2H_STFT_PRECISION={default,high,highest}: perf-bisect knob only —
+    # production stays HIGH (see docstring); used to A/B the r3->r4
+    # regression candidates on one host (docs/ROUND5_NOTES.md)
+    import os as _os
+
+    hi = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[_os.environ.get("M2H_STFT_PRECISION", "high")]
     re = jnp.dot(
         frames, jnp.asarray(cos_m),
         precision=hi, preferred_element_type=jnp.float32,

@@ -214,6 +214,7 @@ class PassiveTrainer(BaseTrainer):
         opt_state = replicate(self._mesh, opt_state)
 
         best_val = {"val": np.inf, "nonoverlapping_val": np.inf}
+        self._val_history = []
         os.makedirs(self.config.CHECKPOINT_FOLDER, exist_ok=True)
 
         from move2hear_tpu.utils.tb import TensorboardWriter
@@ -309,6 +310,11 @@ class PassiveTrainer(BaseTrainer):
                 "nonoverlap val mono %.4f | %.1fs",
                 epoch, tr_bin, tr_mono, val_losses["val"][1],
                 val_losses["nonoverlapping_val"][1], time.time() - t0,
+            )
+            # per-epoch trajectory for learning-dynamics assertions
+            # (tests/test_learning.py)
+            self._val_history.append(
+                {"train": (tr_bin, tr_mono), **val_losses}
             )
             # per-split epoch scalars (passive_trainer.py:254-255)
             tb.add_scalar("bin_loss/train", tr_bin, epoch)

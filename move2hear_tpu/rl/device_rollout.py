@@ -164,6 +164,10 @@ def _forward(policy, variables, obs, prev_mem_masked):
 
 
 def _obs_from_sensors(sensors, gt_norm):
+    # mags_only: the collect scan consumes phases only through
+    # stft_l2_distance, whose same-phase-both-sides form is phase-independent
+    # (cos^2+sin^2 == 1), so the angle/atan2 work is dead — zero phases let
+    # XLA DCE every transcendental in the render (ops/frontend._bin_and_mix)
     if "mono_rfft" in sensors:
         # precomputed-bank path: per-sound forward FFTs + GT mono specs are
         # static (and optionally the RIR rffts too), leaving only inverse
@@ -174,10 +178,12 @@ def _obs_from_sensors(sensors, gt_norm):
             gt_mono_mag_norm=gt_norm,
             rir_rfft=sensors.get("rir_rfft"),
             rir_len=sensors.get("rir_len", 0),
+            mags_only=True,
         )
     else:
         rendered = render_binaural_mixture(
-            sensors["mono"], sensors["rirs"], gt_mono_mag_norm=gt_norm
+            sensors["mono"], sensors["rirs"], gt_mono_mag_norm=gt_norm,
+            mags_only=True,
         )
     obs = {
         "mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
@@ -571,7 +577,7 @@ def make_update_sep_cached(
             flat(buf.node)[:, None], flat(buf.sources)
         ]
         rendered = render_binaural_mixture(
-            mono, rirs, gt_mono_mag_norm=gt_mono_mag_norm
+            mono, rirs, gt_mono_mag_norm=gt_mono_mag_norm, mags_only=True
         )
         mix = rendered.mixed_bin_audio_mag
         obs_flat = {
@@ -944,7 +950,7 @@ def make_update_sep_device(
             flat(mb["node"])[:, None], flat(mb["sources"]),
         ]
         rendered = render_binaural_mixture(
-            mono, rirs, gt_mono_mag_norm=gt_mono_mag_norm
+            mono, rirs, gt_mono_mag_norm=gt_mono_mag_norm, mags_only=True
         )
         mix = sg(rendered.mixed_bin_audio_mag)
         obs_flat = {

@@ -371,6 +371,9 @@ def make_update_sep(
         rendered = render_binaural_mixture(
             bank[flat(mb["sound_ids"])], flat(mb["rirs"]),
             gt_mono_mag_norm=gt_mono_mag_norm,
+            # only magnitudes feed the refit losses; zero phases let XLA
+            # DCE the angle computation (see ops/frontend._bin_and_mix)
+            mags_only=True,
         )
         mix = sg(rendered.mixed_bin_audio_mag)
         obs_flat = {

@@ -219,6 +219,10 @@ class PPOTrainer(BaseRLTrainer):
             rendered = render_binaural_mixture(
                 bank[host["sound_ids"]], host["rirs"],
                 gt_mono_mag_norm=gt_mono_mag_norm,
+                # the training loop consumes phases only via the same-phase
+                # stft_l2_distance, which is phase-independent — zero phases
+                # DCE the atan2 work (ops/frontend._bin_and_mix)
+                mags_only=True,
             )
             obs = {
                 "mixed_bin_audio_mag": rendered.mixed_bin_audio_mag,
@@ -700,13 +704,18 @@ class PPOTrainer(BaseRLTrainer):
                     total_env_steps += n_envs
                     t_col = step_t + 1
                     stop = sync.should_stop_early(t_col)
-                    if sync_possible and jax.process_count() > 1:
+                    if (
+                        sync_possible and jax.process_count() > 1
+                        and t_col >= p.short_rollout_threshold * t_steps
+                    ):
                         # t_col feeds the masked global update programs as a
                         # replicated scalar: every process of this jax world
                         # must cut at the SAME step even when their local
-                        # store reads race — agree via one tiny mesh reduce
-                        # (entered unconditionally each step: the gate is
-                        # config-deterministic, so trip counts stay aligned)
+                        # store reads race — agree via one tiny mesh reduce.
+                        # Gated on the config-deterministic threshold (below
+                        # it should_stop_early is False on every process), so
+                        # trip counts stay aligned without paying a global
+                        # device round trip on the early steps.
                         stop = collective_any(mesh, stop, cfg.TPU.AXIS_NAME)
                     if stop:
                         break
@@ -1207,6 +1216,18 @@ class PPOTrainer(BaseRLTrainer):
             # process_index in real multi-process runs, so the concatenation
             # of per-rank slices IS that prefix). Every process assembles
             # identical (replicated) slabs from the same global occupancy.
+            # A mocked store world (world_size > process_count, see the
+            # two-worlds note above) or a nonstandard rank mapping would make
+            # the occupancy mirror track the WRONG env rows — fail loudly
+            # instead of silently gathering stale slot-0 RIRs.
+            if world_rank != jax.process_index() or n_global != n_prog:
+                raise ValueError(
+                    "sub-bank mode requires the DDPPO store world to equal "
+                    f"the jax process world (world_rank={world_rank} vs "
+                    f"process_index={jax.process_index()}, n_global="
+                    f"{n_global} vs n_prog={n_prog}): the host occupancy "
+                    "mirror tracks order_global[:n_prog]"
+                )
             sub_rows = int(cfg.TPU.get("SUB_BANK_ROWS", 0)) or None
             sub_dtype = (
                 jnp.bfloat16
@@ -1472,7 +1493,12 @@ class PPOTrainer(BaseRLTrainer):
                     probs_win.append(st_flat["probs"].mean(axis=(0, 1)))
                     pol_h, sep_h = np.asarray(pol_h), np.asarray(sep_h)
                     self._loss_log.append((pol_h, sep_h))
-                    if len(self._stats_log) < 2:
+                    if len(self._stats_log) < 2 or bool(
+                        cfg.TPU.get("KEEP_STATS_HISTORY", False)
+                    ):
+                        # tests keep the full per-cycle stats trajectory to
+                        # assert learning dynamics (tests/test_learning.py);
+                        # production keeps 2 cycles for the parity oracles
                         self._stats_log.append(st_flat)
                     value_loss, action_loss, entropy = pol_h[-1]
                     bin_loss, mono_loss, mem_loss = sep_h[-1]

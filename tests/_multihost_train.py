@@ -93,7 +93,21 @@ def main():
     if "WORLD_SIZE" in os.environ:
         assert jax.process_count() == int(os.environ["WORLD_SIZE"])
 
-    trainer = trainer_cls(config)
+    # Test hook (M2H_TEST_SCALE_BUNDLE=1): a multi-scene fixture whose dense
+    # RIR bank exceeds TPU.MAX_DEVICE_BANK_BYTES while the episode-keyed
+    # sub-bank slab fits — forcing rir_mode="sub" across the real processes
+    # (tests/test_multihost.py::test_two_process_sub_bank_trainer). Identical
+    # construction on every rank (seeded), like a shared file-backed bundle.
+    bundle = None
+    if os.environ.get("M2H_TEST_SCALE_BUNDLE", ""):
+        from move2hear_tpu.env.micro_scene import build_scale_fixture
+
+        bundle = build_scale_fixture(
+            num_scenes=2, rows=5, cols=8, episodes_per_scene=8,
+            rir_length=300, with_frames=False, near_target=True, seed=0,
+        )
+
+    trainer = trainer_cls(config, bundle=bundle)
     trainer.train()
 
     import flax.serialization
@@ -111,6 +125,11 @@ def main():
     flat["__loss_sep__"] = np.asarray(trainer._loss_log[0][1])
     flat["__sep_fill__"] = np.asarray(
         getattr(trainer, "_last_sep_fill", -1)
+    )
+    flat["__rir_mode__"] = np.asarray(
+        {"dense": 0, "sub": 1, "host": 2}.get(
+            getattr(trainer, "_rir_mode", ""), -1
+        )
     )
     for i, st in enumerate(trainer._stats_log):
         for k, v in st.items():
