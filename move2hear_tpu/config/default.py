@@ -124,12 +124,14 @@ def default_config() -> Config:
     c.TPU.FUSED_CYCLE = False        # fuse entire cycle into one jit (see trainer)
     c.TPU.PAIRWISE_FUSION = False    # fuse collect+update pairs (see trainer)
     c.TPU.MAX_RIR_LENGTH = 16000     # static pad length for RIR tensors
-    c.TPU.PRECOMPUTE_RIR_RFFT = False  # cache rffts of the whole RIR bank
-    # (~2x its HBM). Measured SLOWER on v5e (157 vs 63 ms/rollout): gathering
-    # 14.7 MB of cached spectra per step costs more than recomputing the RIR
-    # FFTs. Kept as an option for topologies where gathers are cheaper. The
-    # per-sound wav rffts + GT mono spectrograms are always precomputed
-    # (tiny, measured 79 -> 63 ms/rollout).
+    c.TPU.PRECOMPUTE_RIR_RFFT = True  # cache rffts of the whole RIR bank
+    # (~1.5x its HBM), removing the per-step RIR forward FFTs. Measured +10%
+    # end-to-end steps/s on v5e at the 14-env parity config AFTER the
+    # DFT-matmul STFT + mags_only render landed (an early-round measurement
+    # had it slower when other render costs dominated). The trainer only
+    # honors it when dense bank + rfft bank fit TPU.MAX_DEVICE_BANK_BYTES
+    # (dense mode only — sub-bank rows stay time-domain). The per-sound wav
+    # rffts + GT mono spectrograms are always precomputed.
     c.TPU.MAX_DEVICE_BANK_BYTES = 8 * 1024**3  # device-env honesty gate: the
     # RIR bank is 4 azimuths x V^2 RIRs per scene; when the projected bank
     # HBM for a (file-backed) bundle exceeds this, the trainer/evaluator

@@ -102,6 +102,19 @@ def estimate_bank_bytes(bundle, image_size: int = 128) -> int:
     return rir + frames + wav
 
 
+def estimate_rir_rfft_bytes(bundle) -> int:
+    """Extra HBM for the precomputed RIR-rfft bank on top of the dense bank:
+    (..., NF, 2 ears, 2 re/im) f32 vs the raw (..., R, 2 ears) f32 rows —
+    a 2*NF/R ratio at the linear-conv FFT length (~1.5x at L=R=16000)."""
+    from move2hear_tpu.ops.convolve import fast_circular_len
+
+    scenes = bundle.scenes
+    v = max(s.num_nodes for s in scenes.values())
+    r = bundle.audio_db.rir_length
+    nf = fast_circular_len(bundle.audio_db.wav_length, r) // 2 + 1
+    return len(scenes) * 4 * v * v * nf * 2 * 2 * 4
+
+
 def _scene_list(scenes) -> list:
     """Deterministic scene order: sorted by name. Accepts a dict or a single
     GraphScene."""

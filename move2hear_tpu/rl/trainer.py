@@ -964,9 +964,24 @@ class PPOTrainer(BaseRLTrainer):
         n_global = n_envs * world_size
         n_prog = n_envs * jax.process_count()
 
+        # RIR-rfft precompute (default on, +10% measured): dense mode only,
+        # and only when dense + rfft banks BOTH fit the HBM honesty gate —
+        # never demote to sub/host just to afford the cache
+        rfft_on = bool(cfg.TPU.get("PRECOMPUTE_RIR_RFFT", False))
+        if rfft_on and rir_mode == "dense":
+            rfft_extra = de.estimate_rir_rfft_bytes(bundle)
+            if de.estimate_bank_bytes(bundle) + rfft_extra > int(
+                cfg.TPU.MAX_DEVICE_BANK_BYTES
+            ):
+                logger.info(
+                    "PRECOMPUTE_RIR_RFFT: +%.2f GiB rfft bank exceeds the "
+                    "HBM gate; computing RIR FFTs per step instead",
+                    rfft_extra / 2**30,
+                )
+                rfft_on = False
         dev = de.build_device_bundle(
             bundle,
-            precompute_rir_rfft=bool(cfg.TPU.get("PRECOMPUTE_RIR_RFFT", False)),
+            precompute_rir_rfft=rfft_on,
             rir_mode=rir_mode,
         )
         order_global = de.make_order_table(

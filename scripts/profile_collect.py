@@ -44,7 +44,10 @@ def build(n_envs, t_steps, cycle):
         rows=4, cols=4, num_episodes=max(64, 2 * n_envs), near_target=True,
         rir_length=16000,
     )
-    dev = de.build_device_bundle(bundle)
+    dev = de.build_device_bundle(
+        bundle,
+        precompute_rir_rfft=os.environ.get("M2H_PROF_RIRFFT", "1") == "1",
+    )
     order = de.make_order_table(n_envs, max(64, 2 * n_envs), 0)
     env_state = de.env_reset_all(dev.scene, dev.episodes, jnp.asarray(order))
 
