@@ -163,9 +163,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--updates", type=int, default=30)
     ap.add_argument(
-        "--envs", type=int, default=14,
-        help="envs per rank (14 = published parity config; larger shows the "
-        "design's batch-scaling headroom)",
+        "--envs", type=int, default=112,
+        help="envs on the chip (default 112 = 8 ranks x 14 workers: the "
+        "one-chip-replaces-8-GPU-ranks shape the >=8x target is stated "
+        "against; --envs 14 = single-rank parity config)",
+    )
+    ap.add_argument(
+        "--dtype", choices=("float32", "bfloat16"), default="bfloat16",
+        help="TPU.COMPUTE_DTYPE for conv/GRU/dot compute (params, optimizer "
+        "state and losses stay float32 either way — standard TPU mixed "
+        "precision; learning validated in tests/test_learning.py). "
+        "float32 reproduces reference numerics bit-closely",
     )
     ap.add_argument(
         "--opts", nargs="*", default=[],
@@ -195,8 +203,11 @@ def main():
     )
     args = ap.parse_args()
 
+    opts = list(args.opts)
+    if "TPU.COMPUTE_DTYPE" not in opts:
+        opts += ["TPU.COMPUTE_DTYPE", args.dtype]
     trainer = measure_ours(
-        args.opts, args.updates, args.envs, mode=args.mode, mfu=args.mfu
+        opts, args.updates, args.envs, mode=args.mode, mfu=args.mfu
     )
     ours = trainer.steady_fps
     ref_single_core = args.ref or measure_reference_frontend()
@@ -224,6 +235,7 @@ def main():
             "bench_host_cores": cores,
             "envs": args.envs,
             "mode": args.mode,
+            "compute_dtype": args.dtype,
         },
     }
     if getattr(trainer, "mfu_info", None):

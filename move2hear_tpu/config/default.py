@@ -121,6 +121,7 @@ def default_config() -> Config:
     c.TPU.DEVICE_EVAL_MIN_EPISODES = 64  # route eval to the batched device
     # evaluator at/above this episode count (the reference's 1-env host loop
     # remains the small-eval default and parity oracle)
+    c.TPU.COLLECT_UNROLL = 1         # lax.scan unroll of the collect time loop
     c.TPU.FUSED_CYCLE = False        # fuse entire cycle into one jit (see trainer)
     c.TPU.PAIRWISE_FUSION = False    # fuse collect+update pairs (see trainer)
     c.TPU.MAX_RIR_LENGTH = 16000     # static pad length for RIR tensors

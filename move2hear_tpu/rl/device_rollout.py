@@ -210,12 +210,20 @@ def make_collect(
     action_codes: Tuple[int, ...],
     pol_sensors: Tuple[str, ...],
     scan_unroll: int = 1,
+    pose_obs: bool = False,
 ):
     """Build the jitted full-rollout collector.
 
     scan_unroll: lax.scan unroll factor — production keeps 1; the MFU probe
     compiles fully-unrolled tiny-T variants because XLA cost_analysis counts
     a rolled scan body once regardless of trip count.
+
+    pose_obs: store an integer "pose" index in the rollout observations
+    instead of the rgb/depth frames themselves (requires the per-rollout
+    visual-feature bank to be active — the trainer passes the matching
+    pose_bank flag to make_update_pol). Skips writing ~(T, N, 128, 128, 4)
+    of frame slabs to HBM per rollout, and lets the policy update run the
+    visual conv stack per distinct pose instead of per step.
 
     The DeviceBundle is a runtime ARGUMENT of the returned function, not a
     closure capture: closed-over dense device arrays lower into the HLO as
@@ -264,13 +272,20 @@ def make_collect(
                     variables, flat(dev.rgb_bank), flat(dev.depth_bank),
                     method=Move2HearPolicy.visual_features,
                 )
+        if pose_obs and vis_bank is None:
+            raise ValueError(
+                "make_collect(pose_obs=True) requires the per-rollout "
+                "visual-feature bank (a frame bank with S*V*4 <= N*T)"
+            )
+
+        def pose_of(obs_idx):
+            v = frame_bank.shape[1]
+            return (obs_idx.scene_idx * v + obs_idx.node) * 4 + obs_idx.rot_idx
 
         def with_vis(obs, obs_idx):
             if vis_bank is None:
                 return obs
-            v = frame_bank.shape[1]
-            pose = (obs_idx.scene_idx * v + obs_idx.node) * 4 + obs_idx.rot_idx
-            return {**obs, "visual_feats": vis_bank[pose]}
+            return {**obs, "visual_feats": vis_bank[pose_of(obs_idx)]}
 
         def step_fn(carry, rng_t):
             env_state, hidden, masks, prev_mem_masked = carry
@@ -316,8 +331,15 @@ def make_collect(
             masks_next = 1.0 - info["done"].astype(jnp.float32)[:, None]
             prev_mem_next = pred_mem * masks_next[:, :, None, None]
 
+            if pose_obs:
+                stored_obs = {
+                    k: obs[k] for k in pol_sensors if k not in ("rgb", "depth")
+                }
+                stored_obs["pose"] = pose_of(obs_idx)
+            else:
+                stored_obs = {k: obs[k] for k in pol_sensors}
             out = {
-                "obs": {k: obs[k] for k in pol_sensors},
+                "obs": stored_obs,
                 "pred_masks": pred_masks,
                 "pred_mono": pred_mono,
                 "pred_mem": pred_mem,

@@ -165,6 +165,7 @@ def make_update_pol(
     axis_name: Optional[str] = None,
     with_validity: bool = False,
     scan_unroll: int = 1,
+    pose_bank: bool = False,
 ) -> Callable:
     """Build the jitted policy-update function.
 
@@ -178,17 +179,38 @@ def make_update_pol(
     ppo_trainer.py:769-782) get zero weight in every loss/normalization term,
     so one compiled program serves any truncation length — equal to running
     the plain update on the physically truncated buffer.
+
+    With `pose_bank=True` the rollout observations carry an integer "pose"
+    index instead of rgb/depth frames (see make_collect's pose_obs), and the
+    fn takes a `banks` kwarg with the device frame banks. Each epoch runs the
+    visual conv stack ONCE over the S*V*4 distinct poses and gathers a
+    (T, N, H) feature row per step — the reference recomputes the conv stack
+    over all T*N stored frames every epoch (policy.py:47-118 via
+    evaluate_actions). Same math: the per-pose forward is identical, and the
+    pose-gather scatter-adds the per-step cotangents before one conv
+    backward instead of summing per-step conv backwards.
     """
     tx_pol, _ = make_optimizers(cfg)
 
-    def minibatch_loss(pol_params, frozen, batch_stats, mb, clip_param):
+    def minibatch_loss(pol_params, frozen, batch_stats, mb, clip_param, banks):
         params = {**frozen, **pol_params}
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        obs = mb["obs"]
+        if pose_bank:
+            flat = lambda b: (
+                None if b is None else b.reshape((-1,) + b.shape[3:])
+            )
+            vis = policy.apply(
+                variables, flat(banks.get("rgb")), flat(banks.get("depth")),
+                method=Move2HearPolicy.visual_features,
+            )
+            obs = {k: v for k, v in obs.items() if k != "pose"}
+            obs["visual_feats"] = vis[mb["obs"]["pose"]]
         values, log_probs, entropy, _ = policy.apply(
             variables,
-            mb["obs"],
+            obs,
             mb["hidden0"],
             mb["masks"],
             mb["actions"],
@@ -233,7 +255,7 @@ def make_update_pol(
 
     def update(
         state: AgentState, rollouts, rng, lr_scale=1.0, clip_scale=1.0,
-        t_valid=None,
+        t_valid=None, banks=None,
     ):
         clip_param = cfg.clip_param * clip_scale
         lr = cfg.lr_pol * lr_scale
@@ -303,7 +325,7 @@ def make_update_pol(
             if with_validity:
                 mb["w"] = w_steps
             grads, aux = jax.grad(minibatch_loss, has_aux=True)(
-                pol_params, frozen, state.batch_stats, mb, clip_param
+                pol_params, frozen, state.batch_stats, mb, clip_param, banks
             )
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)

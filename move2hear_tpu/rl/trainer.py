@@ -1077,19 +1077,44 @@ class PPOTrainer(BaseRLTrainer):
 
         from move2hear_tpu.rl.device_rollout import make_train_cycle
 
-        def mk_collect(steps, unroll=1):
+        fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
+        pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
+        # Pose-indexed rollout observations: whenever the collect scan's
+        # per-rollout visual-feature bank is active (every frame is one of
+        # S*V*4 distinct poses), the rollouts store the integer pose per step
+        # instead of the frames, and each policy-update epoch runs the visual
+        # conv stack once over the distinct poses + a gather — instead of
+        # over all T*N stored frames (the reference's evaluate_actions cost,
+        # policy.py:47-118). Also skips writing the (T, N, 128, 128, 4)
+        # frame slabs to HBM every rollout. Exact same math (see
+        # make_update_pol docstring).
+        _fb = dev.rgb_bank if dev.rgb_bank is not None else dev.depth_bank
+        pose_obs = self._pose_obs = (
+            not fused and not pairwise
+            and _fb is not None
+            and _fb.shape[0] * _fb.shape[1] * 4 <= n_prog * t_steps
+            and any(k in pol_sensors for k in ("rgb", "depth"))
+        )
+        # lax.scan unroll factor for the collect's time loop: >1 trades
+        # compile time + code size for fewer while-loop iterations (the
+        # T-step kernel chain is latency-bound, not FLOPs-bound, at bench
+        # shapes). Must divide into the rollout cleanly only for perf, not
+        # correctness — lax.scan handles remainders.
+        collect_unroll = int(cfg.TPU.get("COLLECT_UNROLL", 1))
+
+        def mk_collect(steps, unroll=None):
             return make_collect(
                 policy, ppo_cfg, steps, max_ep_steps, gt_norm,
                 sep_rewards, p.extra_reward_multiplier,
                 cfg.RL.DISTANCE_REWARD_SCALE
                 if cfg.RL.WITH_DISTANCE_REWARD else 0.0,
-                action_codes, tuple(pol_sensors), scan_unroll=unroll,
+                action_codes, tuple(pol_sensors),
+                scan_unroll=collect_unroll if unroll is None else unroll,
+                pose_obs=pose_obs,
             )
 
         collect_fn = mk_collect(t_steps)
-        update_pol_fn = make_update_pol(policy, ppo_cfg, n_prog)
-        fused = bool(cfg.TPU.get("FUSED_CYCLE", False))
-        pairwise = bool(cfg.TPU.get("PAIRWISE_FUSION", False))
+        update_pol_fn = make_update_pol(policy, ppo_cfg, n_prog, pose_bank=pose_obs)
         # Preemptive rollout sync on the device path (ppo_trainer.py:769-782):
         # a mid-rollout host decision is impossible inside one jitted scan, so
         # the rollout is dispatched as a prefix of ceil(threshold*T) steps and
@@ -1215,6 +1240,12 @@ class PPOTrainer(BaseRLTrainer):
                     "NUM_PROCESSES=%d not divisible by %d devices; "
                     "device-env path runs replicated", n_envs, n_dev,
                 )
+
+        # built AFTER dev's mesh replication so the banks the update gathers
+        # from carry the same (replicated) sharding as the collect's inputs
+        pol_banks = (
+            {"rgb": dev.rgb_bank, "depth": dev.depth_bank} if pose_obs else None
+        )
 
         sub_bank = self._sub_bank = None
         if rir_mode == "sub":
@@ -1433,7 +1464,7 @@ class PPOTrainer(BaseRLTrainer):
                             coordination_barrier("first_pol_update")
                         state, losses_t = update_pol(
                             state, out.rollouts_pol, rng_u, lr_scale,
-                            clip_scale,
+                            clip_scale, banks=pol_banks,
                         )
                         losses = jnp.stack(losses_t)
                     sep_buf = write_sep_slab(sep_buf, sep_slab, sep_fill)
@@ -1615,14 +1646,19 @@ class PPOTrainer(BaseRLTrainer):
 
             rp = jax.eval_shape(mk_collect(t_steps), *cargs).rollouts_pol
             one = jnp.float32(1.0)
+            pose = "pose" in rp["observations"]
+            banks = (
+                {"rgb": dev.rgb_bank, "depth": dev.depth_bank} if pose else None
+            )
 
             def mkp(e):
-                return make_update_pol(
+                upd = make_update_pol(
                     policy, dataclasses.replace(ppo_cfg, ppo_epoch=e),
-                    n_prog, scan_unroll=True,
+                    n_prog, scan_unroll=True, pose_bank=pose,
                 )
+                return lambda s, r, k: upd(s, r, k, one, one, banks=banks)
 
-            pargs = (state, rp, rng, one, one)
+            pargs = (state, rp, rng)
             f_p1 = flops(mkp(1), *pargs)
             f_p2 = flops(mkp(2), *pargs)
             f_pol = f_p1 + (ppo_cfg.ppo_epoch - 1) * (f_p2 - f_p1)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(n_envs, t_steps, cycle):
+def build(n_envs, t_steps, cycle, dtype="float32", pose=True):
     from move2hear_tpu.config import get_config
     from move2hear_tpu.env import device_env as de
     from move2hear_tpu.env.micro_scene import build_micro_scene
@@ -53,14 +53,24 @@ def build(n_envs, t_steps, cycle):
 
     actions = ("MOVE_FORWARD", "TURN_LEFT", "TURN_RIGHT")
     codes = tuple(int(Action[a]) for a in actions)
-    policy = Move2HearPolicy(num_actions=3, hidden_size=512, use_ddppo=True)
+    policy = Move2HearPolicy(
+        num_actions=3, hidden_size=512, use_ddppo=True,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+    )
     ppo_cfg = PPOConfig(ppo_epoch=4, num_mini_batch=1)
     pol_sensors = ("mixed_bin_audio_mag", "target_class", "rgb", "depth")
+    fb = dev.rgb_bank if dev.rgb_bank is not None else dev.depth_bank
+    pose = pose and fb is not None and (
+        fb.shape[0] * fb.shape[1] * 4 <= n_envs * t_steps
+    )
     collect = jax.jit(make_collect(
         policy, ppo_cfg, t_steps, 20, 1.2, True, 10.0, 0.0, codes, pol_sensors,
+        scan_unroll=int(os.environ.get("M2H_PROF_UNROLL", "1")),
+        pose_obs=pose,
     ))
-    update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs))
+    update_pol = jax.jit(make_update_pol(policy, ppo_cfg, n_envs, pose_bank=pose))
     update_sep = jax.jit(make_update_sep_from_slabs(policy, ppo_cfg, n_envs, cycle))
+    pol_banks = {"rgb": dev.rgb_bank, "depth": dev.depth_bank} if pose else None
 
     obs = {
         "rgb": jnp.zeros((n_envs, 128, 128, 3), jnp.uint8),
@@ -80,7 +90,7 @@ def build(n_envs, t_steps, cycle):
         prev_mem=prev_mem, key=key, collect=collect, update_pol=update_pol,
         update_sep=update_sep, RolloutSepIdx=RolloutSepIdx,
         write_sep_slab=write_sep_slab, t_steps=t_steps, cycle=cycle,
-        n_envs=n_envs,
+        n_envs=n_envs, pol_banks=pol_banks,
     )
     return ctx
 
@@ -93,9 +103,13 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default="/tmp/m2h_trace")
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"),
+                    default="bfloat16")
+    ap.add_argument("--no-pose", dest="pose", action="store_false",
+                    default=True)
     args = ap.parse_args()
 
-    c = build(args.envs, 20, 6)
+    c = build(args.envs, 20, 6, dtype=args.dtype, pose=args.pose)
 
     def run_collect():
         out = c["collect"](
@@ -111,7 +125,8 @@ def main():
     elif args.phase == "update_pol":
         def fn():
             jax.block_until_ready(
-                c["update_pol"](c["state"], out.rollouts_pol, c["key"])[1])
+                c["update_pol"](c["state"], out.rollouts_pol, c["key"],
+                                banks=c["pol_banks"])[1])
     else:
         buf = c["write_sep_slab"](
             c["RolloutSepIdx"].create(
