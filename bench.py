@@ -14,8 +14,10 @@ GPU (an upper bound on what the reference could reach per 14-env rank).
 
 Ours is the measured steady-state env-steps/sec of the complete training loop
 (rollout + PPO update + separator refit with published hyperparameters:
-T=20 steps, 14 envs, ppo_epoch 4, cycle 6) on one TPU chip, compile time
-excluded.
+T=20 steps, ppo_epoch 4, cycle 6) on one TPU chip, compile time excluded.
+Default env count is 112 = 8 ranks x 14 workers — the shape in which one
+chip replaces the reference's whole 8-GPU cluster; `--envs 14` is the
+single-rank parity shape.
 
 `vs_baseline` is the honest per-accelerator comparison: OUR steps/s on one
 TPU chip divided by the reference's per-GPU-RANK ceiling — the measured
@@ -139,9 +141,12 @@ def measure_ours(extra_opts=(), num_updates=30, n_envs=14, mode="device",
         + list(extra_opts),
     )
     if mode in ("sub", "host-scale"):
+        # the reference's scene split asserts scenes >= envs
+        # (env_utils.py:556-567), so the fixture grows with the env count
+        n_scenes = max(8, n_envs)
         bundle = build_scale_fixture(
-            num_scenes=8, rows=15, cols=20,
-            episodes_per_scene=max(12, (2 * n_envs) // 8 + 1),
+            num_scenes=n_scenes, rows=15, cols=20,
+            episodes_per_scene=max(12, (2 * n_envs) // n_scenes + 1),
         )
     else:
         bundle = build_micro_scene(

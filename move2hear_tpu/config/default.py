@@ -147,10 +147,18 @@ def default_config() -> Config:
     # loss stay float32) — ~25% faster refit on the MXU at a small numerics
     # delta; "" keeps the policy compute dtype (exact reference semantics)
     c.TPU.SUB_BANK_ROWS = 0  # episode-keyed RIR sub-bank slots (sub mode,
-    # env/sub_bank.py); 0 = auto-size from envs x sources x window overlap
+    # env/sub_bank.py); 0 = auto-size: at least the per-window requirement,
+    # grown into spare MAX_DEVICE_BANK_BYTES budget (resident rows turn
+    # future conflict re-uploads into hits), capped at the dataset's unique
+    # (scene, source) key count
     c.TPU.SUB_BANK_DTYPE = "float32"  # or "bfloat16": sub-bank slab storage
     # dtype — halves both HBM and the per-rollout host->device row uploads;
     # render math stays float32 (rows are cast after the per-step gather)
+    c.TPU.SUB_PREFETCH = True  # assemble + upload the next window's missing
+    # RIR rows right after this window's device work is dispatched, so the
+    # host->device copies overlap device compute (env/sub_bank.py prefetch)
+    c.TPU.RIR_MODE = "auto"  # dense|sub|host forces that path, skipping the
+    # MAX_DEVICE_BANK_BYTES gate (bench + A/B tooling; auto = gate decides)
     c.TPU.REPORT_MFU = False  # probe exact per-cycle FLOPs at startup (six
     # extra compiles, no executions) and expose trainer.mfu_info — bench.py
     # combines it with the measured steps/s into an auditable MFU figure

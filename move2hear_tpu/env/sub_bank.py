@@ -55,18 +55,34 @@ class EpisodeOccupancy:
         scan steps INCLUDING the post-rollout bootstrap observation (the
         collect's final forward observes the post-step state, which may be a
         freshly reset episode)."""
-        need = set()
+        return self.episodes_by_window(1, t_steps)[0]
+
+    def episodes_by_window(
+        self, n_windows: int, t_steps: int
+    ) -> List[np.ndarray]:
+        """Unique episode ids per upcoming ``t_steps`` window, for the next
+        ``n_windows`` windows, WITHOUT committing the cursor. Window 0 is what
+        ``episodes_for_window`` returns; later windows feed prefetch and the
+        Belady eviction rank (the progression is deterministic, so the future
+        is exactly known)."""
+        out = []
         k = self.order.shape[1]
-        for i in range(self.order.shape[0]):
-            c, s = int(self.cursor[i]), int(self.step[i])
-            need.add(int(self.order[i, c % k]))
-            for _ in range(t_steps):
-                s += 1
-                if s >= self.horizon:
-                    s = 0
-                    c += 1
-                    need.add(int(self.order[i, c % k]))
-        return np.asarray(sorted(need), np.int64)
+        cur = self.cursor.copy()
+        stp = self.step.copy()
+        for _ in range(n_windows):
+            need = set()
+            for i in range(self.order.shape[0]):
+                c, s = int(cur[i]), int(stp[i])
+                need.add(int(self.order[i, c % k]))
+                for _ in range(t_steps):
+                    s += 1
+                    if s >= self.horizon:
+                        s = 0
+                        c += 1
+                        need.add(int(self.order[i, c % k]))
+                cur[i], stp[i] = c, s
+            out.append(np.asarray(sorted(need), np.int64))
+        return out
 
     def advance(self, t_steps: int) -> None:
         """Commit ``t_steps`` executed scan steps (preemptive-sync truncation
@@ -101,26 +117,53 @@ def sub_bank_capacity(
     return cap
 
 
-def estimate_sub_bank_bytes(
-    bundle, n_envs: int, s_mix: int, t_steps: int, horizon: int,
-    dtype_bytes: int = 4, image_size: int = 128,
+def max_capacity_for_budget(
+    budget_bytes: int,
+    row_bytes: int,
+    min_capacity: int,
+    n_unique_keys: Optional[int] = None,
 ) -> int:
-    """Projected HBM for sub-bank mode: capacity V-linear RIR rows + the
-    frame/wav banks (cf. device_env.estimate_bank_bytes for the dense V^2
-    projection)."""
+    """Largest slot count the HBM budget allows, at least ``min_capacity``
+    (the per-window requirement — below it one rollout can't be resident) and
+    at most the dataset's unique key count (more slots than keys is waste).
+    Filling spare budget with extra slots turns conflict re-uploads into
+    hits: host->device RIR traffic is the sub-path's scaling wall whenever
+    the link is slow relative to episode turnover (docs/ROUND5_NOTES.md)."""
+    cap = max(min_capacity, budget_bytes // max(1, row_bytes))
+    if n_unique_keys is not None:
+        cap = min(cap, max(min_capacity, n_unique_keys))
+    return int(cap)
+
+
+def fixed_bank_bytes(bundle, image_size: int = 128) -> int:
+    """HBM the sub-bank mode needs BESIDES the RIR row slab: the frame bank
+    (rgb uint8 + depth f32 per node x azimuth) and the source wav bank."""
     scenes = bundle.scenes
     v = max(s.num_nodes for s in scenes.values())
-    r = bundle.audio_db.rir_length
-    n_keys = _count_unique_keys(bundle)
-    cap = sub_bank_capacity(n_envs, s_mix, t_steps, horizon, n_keys)
-    rows = cap * 4 * v * r * 2 * dtype_bytes
     frames = 0
     if getattr(bundle, "frame_cache", None) is not None:
         frames = (
             len(scenes) * v * 4 * image_size * image_size * (3 * 1 + 1 * 4)
         )
     wav = len(bundle.audio_db.sound_names()) * bundle.audio_db.wav_length * 4
-    return rows + frames + wav
+    return frames + wav
+
+
+def estimate_sub_bank_bytes(
+    bundle, n_envs: int, s_mix: int, t_steps: int, horizon: int,
+    dtype_bytes: int = 4, image_size: int = 128,
+) -> int:
+    """Projected MINIMUM HBM for sub-bank mode: the per-window-requirement
+    row capacity (the trainer grows capacity into spare budget beyond this —
+    more resident rows means fewer host->device re-uploads) + the frame/wav
+    banks (cf. device_env.estimate_bank_bytes for the dense V^2 projection)."""
+    scenes = bundle.scenes
+    v = max(s.num_nodes for s in scenes.values())
+    r = bundle.audio_db.rir_length
+    n_keys = _count_unique_keys(bundle)
+    cap = sub_bank_capacity(n_envs, s_mix, t_steps, horizon, n_keys)
+    rows = cap * 4 * v * r * 2 * dtype_bytes
+    return rows + fixed_bank_bytes(bundle, image_size)
 
 
 def _count_unique_keys(bundle) -> int:
@@ -256,6 +299,25 @@ class RirSubBank:
                     keys.append((sc, int(s)))
         return keys
 
+    def _future_rank(self) -> Dict[Tuple[int, int], int]:
+        """First-use window index per key over a capacity-covering lookahead.
+        The device env's episode progression is deterministic, so the future
+        access sequence is exactly known — eviction can be Belady-optimal
+        (evict the key needed FURTHEST in the future) instead of LRU, which
+        degrades to a 100% conflict-miss rate on the cyclic episode orders
+        the order table produces."""
+        per_window = max(
+            1, self._occ.order.shape[0] * self._ep_sources.shape[1]
+        )
+        lookahead = min(64, 2 + self.capacity // per_window + 1)
+        rank: Dict[Tuple[int, int], int] = {}
+        for w, eps in enumerate(
+            self._occ.episodes_by_window(lookahead, self._t_steps)
+        ):
+            for k in self._keys_for(eps):
+                rank.setdefault(k, w)
+        return rank
+
     def _ensure(self, keys: List[Tuple[int, int]]) -> None:
         self._tick += 1
         needed = set(keys)
@@ -270,13 +332,36 @@ class RirSubBank:
                 f"sub-bank capacity {self.capacity} < {len(needed)} rows "
                 "needed for one rollout window; raise TPU.SUB_BANK_ROWS"
             )
-        # LRU slots not needed this window
-        free = [
-            i
-            for i in np.argsort(self._slot_tick, kind="stable")
-            if self._slot_key[i] is None or self._slot_key[i] not in needed
-        ]
-        slots = []
+        # Eviction candidates: slots not needed this window, most-evictable
+        # first — empty slots, then keys with no use in the lookahead (oldest
+        # tick first), then keys by DESCENDING next-use window (Belady).
+        future = self._future_rank()
+
+        def evict_rank(i):
+            # ascending sort = most-evictable first: empty slots, then keys
+            # with no use in the lookahead (oldest first), then keys by
+            # DESCENDING next-use window (Belady: furthest future first)
+            k = self._slot_key[i]
+            if k is None:
+                return (0, 0, 0)
+            w = future.get(k)
+            if w is None:
+                return (1, 0, int(self._slot_tick[i]))
+            return (2, -w, int(self._slot_tick[i]))
+
+        free = sorted(
+            (
+                i
+                for i in range(self.capacity)
+                if self._slot_key[i] is None
+                or self._slot_key[i] not in needed
+            ),
+            key=evict_rank,
+        )
+        # one compiled single-row scatter per upload: no power-of-two shape
+        # padding (was up to ~33% wasted transfer on a slow host->device
+        # link), and each row's host assembly/cast overlaps the previous
+        # row's in-flight copy (dispatch is async)
         for k, slot in zip(missing, free):
             slot = int(slot)
             old = self._slot_key[slot]
@@ -286,25 +371,14 @@ class RirSubBank:
             self._slot_key[slot] = k
             self._key_to_slot[k] = slot
             self._slot_tick[slot] = self._tick
-            slots.append(slot)
-        rows = np.stack([self._row_for(k) for k in missing])
-        # bucket the scatter shape to powers of two (pad by repeating the
-        # last row/slot pair — duplicate scatter indices with identical
-        # payloads are well-defined) so jit compiles O(log) variants
-        n = len(missing)
-        n_pad = 1 << (n - 1).bit_length()
-        if n_pad > n:
-            rows = np.concatenate(
-                [rows, np.repeat(rows[-1:], n_pad - n, axis=0)]
+            row = self._row_for(k)
+            self._slab = self._scatter(
+                self._slab,
+                self._put(row[None]),
+                self._put(np.asarray([slot], np.int32)),
             )
-            slots = slots + [slots[-1]] * (n_pad - n)
-        self._slab = self._scatter(
-            self._slab,
-            self._put(rows),
-            self._put(np.asarray(slots, np.int32)),
-        )
-        self.rows_uploaded += n
-        self.bytes_uploaded += rows.nbytes
+            self.rows_uploaded += 1
+            self.bytes_uploaded += row.nbytes
         self._table_dirty = True
 
     # -- per-rollout API ---------------------------------------------------
@@ -323,6 +397,23 @@ class RirSubBank:
             self._table_dev = self._put(self._table)
             self._table_dirty = False
         return self._slab, self._table_dev
+
+    def prefetch(self, n_windows: int = 1) -> None:
+        """Ensure rows for the next ``n_windows`` windows NOW. Called after
+        the rollout's device work is dispatched: host row assembly and the
+        host->device copies overlap device compute, and the slab scatters
+        execute after the in-flight collect (per-device program order), so
+        the window it reads is untouched. ``rollout_inputs`` then finds every
+        row resident. Purely a hint — a preemptive-sync truncation just means
+        some prefetched rows go unused until their episode actually starts."""
+        wins = self._occ.episodes_by_window(n_windows, self._t_steps)
+        eps = np.unique(np.concatenate(wins)) if wins else np.asarray([])
+        keys = self._keys_for(eps)
+        if len(keys) <= self.capacity:
+            self._ensure(keys)
+        else:
+            # more future keys than slots: ensure only window 0 (required)
+            self._ensure(self._keys_for(wins[0]))
 
     def advance(self, t_steps: int) -> None:
         self._occ.advance(t_steps)

@@ -292,11 +292,25 @@ class PPOTrainer(BaseRLTrainer):
     def train(self) -> None:
         """Dispatch: gymnax-style fully-on-device rollouts (default) or the
         host-process VectorEnv loop (file-backed scenes / parity runs)."""
+        forced = str(self.config.TPU.get("RIR_MODE", "auto"))
+        if forced not in ("auto", "dense", "sub", "host"):
+            raise ValueError(f"TPU.RIR_MODE must be auto|dense|sub|host, "
+                             f"got {forced!r}")
+        if forced == "host":
+            self._train_host()
+            self._clear_interrupted_state()
+            return
         if self.config.TPU.get("DEVICE_ENV", True):
             bundle = self._make_bundle()
             from move2hear_tpu.env.device_env import estimate_bank_bytes
             from move2hear_tpu.env.sub_bank import estimate_sub_bank_bytes
 
+            if forced in ("dense", "sub"):
+                # explicit override: skip the HBM honesty gate (bench and
+                # A/B tooling; an over-budget bank OOMs loudly, not silently)
+                self._train_device(rir_mode=forced)
+                self._clear_interrupted_state()
+                return
             est = estimate_bank_bytes(bundle)
             budget = int(self.config.TPU.MAX_DEVICE_BANK_BYTES)
             if est <= budget:
@@ -1274,12 +1288,41 @@ class PPOTrainer(BaseRLTrainer):
                     f"{n_global} vs n_prog={n_prog}): the host occupancy "
                     "mirror tracks order_global[:n_prog]"
                 )
-            sub_rows = int(cfg.TPU.get("SUB_BANK_ROWS", 0)) or None
             sub_dtype = (
                 jnp.bfloat16
                 if cfg.TPU.get("SUB_BANK_DTYPE", "float32") == "bfloat16"
                 else jnp.float32
             )
+            sub_rows = int(cfg.TPU.get("SUB_BANK_ROWS", 0)) or None
+            if sub_rows is None:
+                # grow the slab into spare HBM budget: every extra resident
+                # row turns a future conflict re-upload into a hit, and
+                # host->device RIR traffic is the sub path's wall on slow
+                # links (docs/ROUND5_NOTES.md sub-mode analysis)
+                from move2hear_tpu.env.sub_bank import (
+                    _count_unique_keys,
+                    fixed_bank_bytes,
+                    max_capacity_for_budget,
+                    sub_bank_capacity,
+                )
+
+                row_bytes = (
+                    4 * int(dev.scene.positions.shape[1])
+                    * int(bundle.audio_db.rir_length) * 2
+                    * (2 if sub_dtype == jnp.bfloat16 else 4)
+                )
+                n_keys = _count_unique_keys(bundle)
+                min_cap = sub_bank_capacity(
+                    n_prog, int(cfg.NUM_SOUNDS_IN_MIX), t_steps,
+                    max_ep_steps, n_keys,
+                )
+                spare = (
+                    int(cfg.TPU.MAX_DEVICE_BANK_BYTES)
+                    - fixed_bank_bytes(bundle)
+                )
+                sub_rows = max_capacity_for_budget(
+                    spare, row_bytes, min_cap, n_keys
+                )
             sub_bank = self._sub_bank = RirSubBank(
                 bundle.scenes,
                 bundle.audio_db,
@@ -1471,6 +1514,15 @@ class PPOTrainer(BaseRLTrainer):
                     sep_fill += int(sep_slab["masks"].shape[0])
                     pol_l.append(losses)
                     stats_list.append(stats)
+                    if sub_bank is not None and bool(
+                        cfg.TPU.get("SUB_PREFETCH", True)
+                    ):
+                        # assemble + upload the NEXT window's missing RIR
+                        # rows while the device chews on this window's
+                        # collect/update: the scatters execute after the
+                        # in-flight programs (per-device enqueue order), so
+                        # the rows they read are untouched
+                        sub_bank.prefetch()
                 self._last_sep_fill = sep_fill
                 sep_lrs = (
                     jnp.asarray(

@@ -239,3 +239,102 @@ def test_gate_selects_sub_mode_at_scale(tmp_path):
     assert trainer._rir_mode == "sub"
     assert trainer.steady_fps >= 0.0
     assert trainer._final_state is not None
+
+
+def test_belady_eviction_beats_lru_on_cyclic_orders(two_scene_bundle):
+    """The device env's episode progression is deterministic, so eviction is
+    Belady-optimal (evict the key needed furthest in the future). On the
+    cyclic per-env orders the order table produces, LRU degrades toward a
+    100% conflict-miss rate (it always evicts the key needed soonest);
+    Belady must re-upload strictly less once capacity is binding."""
+    bundle = two_scene_bundle
+    dev = build_device_bundle(bundle, with_frames=False, rir_mode="sub")
+    n_envs, horizon, t_steps = 2, 3, 3
+    order = make_order_table(n_envs, len(bundle.episodes), seed=7)
+
+    def run(capacity, windows=24):
+        sub = _make_sub_bank(
+            bundle, dev, order, horizon, t_steps, capacity=capacity
+        )
+        for _ in range(windows):
+            sub.rollout_inputs()
+            sub.advance(t_steps)
+        return sub
+
+    # capacity = exactly one window's worst case: eviction choice matters
+    probe = _make_sub_bank(bundle, dev, order, horizon, t_steps)
+    need = 0
+    occ_probe = EpisodeOccupancy(order, horizon)
+    for _ in range(24):
+        need = max(
+            need, len(probe._keys_for(occ_probe.episodes_for_window(t_steps)))
+        )
+        occ_probe.advance(t_steps)
+    sub = run(need)
+    # LRU baseline: replay the same access sequence against an LRU set
+    occ = EpisodeOccupancy(order, horizon)
+    resident, tick, lru_uploads = {}, 0, 0
+    for _ in range(24):
+        tick += 1
+        keys = probe._keys_for(occ.episodes_for_window(t_steps))
+        missing = [k for k in keys if k not in resident]
+        for k in keys:
+            if k in resident:
+                resident[k] = tick
+        for k in missing:
+            if len(resident) >= need:
+                needed = set(keys)
+                victim = min(
+                    (kk for kk in resident if kk not in needed),
+                    key=resident.get,
+                )
+                del resident[victim]
+            resident[k] = tick
+            lru_uploads += 1
+        occ.advance(t_steps)
+    assert sub.rows_uploaded <= lru_uploads
+    # with full-capacity residency there are no conflict misses at all
+    n_keys = len(
+        {
+            (int(sub._ep_scene_idx[e]), int(s))
+            for e in range(len(sub._ep_scene_idx))
+            for s in sub._ep_sources[e]
+            if s >= 0
+        }
+    )
+    full = run(n_keys)
+    assert full.rows_uploaded == n_keys
+
+
+def test_prefetch_makes_rollout_inputs_upload_free(two_scene_bundle):
+    """prefetch() after advance() must leave the next window fully resident:
+    the rollout_inputs() on the critical path uploads nothing."""
+    bundle = two_scene_bundle
+    dev = build_device_bundle(bundle, with_frames=False, rir_mode="sub")
+    n_envs, horizon, t_steps = 2, 3, 4
+    order = make_order_table(n_envs, len(bundle.episodes), seed=9)
+    sub = _make_sub_bank(bundle, dev, order, horizon, t_steps)
+    sub.rollout_inputs()
+    for _ in range(6):
+        sub.advance(t_steps)
+        sub.prefetch()
+        before = sub.rows_uploaded
+        slab, table = sub.rollout_inputs()
+        assert sub.rows_uploaded == before, "prefetch missed rows"
+    # prefetched tables still index correctly (delegates to the parity test
+    # for values; here: every needed key resident and mapped)
+    eps = sub._occ.episodes_for_window(t_steps)
+    for k in sub._keys_for(eps):
+        assert k in sub._key_to_slot
+
+
+def test_max_capacity_for_budget():
+    from move2hear_tpu.env.sub_bank import max_capacity_for_budget
+
+    # fills spare budget ...
+    assert max_capacity_for_budget(100 * 10, 10, 4, None) == 100
+    # ... but never below the per-window requirement ...
+    assert max_capacity_for_budget(0, 10, 4, None) == 4
+    # ... and never beyond the dataset's unique key count
+    assert max_capacity_for_budget(100 * 10, 10, 4, 17) == 17
+    assert max_capacity_for_budget(100 * 10, 10, 25, 17) == 25
