@@ -136,7 +136,13 @@ def measure_ours(extra_opts=(), num_updates=30, n_envs=14, mode="device",
             "TPU.STATS_FETCH_INTERVAL", "2",
         ]
         + (["TPU.DEVICE_ENV", "False"] if mode in ("host", "host-scale") else [])
-        + (["TPU.SUB_BANK_DTYPE", "bfloat16"] if mode == "sub" else [])
+        # force sub-banks (skip the HBM honesty gate): an env count whose
+        # sub-banks exceed HBM then fails loudly at bank build instead of
+        # silently benchmarking the host path for 30 updates. On a 16 GiB
+        # chip the 8-scene x V=300 fixture fits ~14 envs (the single-rank
+        # parity shape); 112 envs at this scale is the 8-chip story.
+        + (["TPU.SUB_BANK_DTYPE", "bfloat16", "TPU.RIR_MODE", "sub"]
+           if mode == "sub" else [])
         + (["TPU.REPORT_MFU", "True"] if mfu else [])
         + list(extra_opts),
     )
